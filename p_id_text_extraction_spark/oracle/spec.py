@@ -1,0 +1,313 @@
+"""The extraction SPEC: pure-Python kernels shared by oracle and Spark UDFs.
+
+This module is the single source of truth for the non-relational stages
+(parse, segment, detect, normalize).  The Spark pipeline's Arrow-batched
+pandas UDFs call *these functions* over each batch, and the pure-Python
+oracle (`oracle/pipeline.py`) calls them too -- so per-turn byte-equality
+between distributed run and oracle is structural, not statistical
+(SURVEY.md section 7.3 hard part #1).
+
+Reference parity (all citations into /root/reference):
+  parse_payload    ~ PDF rasterization front stage   PDF_to_image.py:48-63
+  segment_offsets  ~ SAHI overlapping tiling          src/data_loader/sahi_slicer.py:79-135
+  detect_spans     ~ CRAFT per-tile detection + the rotation/orientation
+                     classifier                       src/text_detection/text_detection.py:49-131
+  normalize_text   ~ TrOCR primary + EasyOCR fallback src/text_detection/text_recognition.py:56-131
+
+Determinism rules (so every engine agrees bit-for-bit):
+  * all scores are integer milli-units until the final single division;
+  * no floating aggregation anywhere in the kernels;
+  * only ASCII-whitespace handling, explicit everywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from p_id_text_extraction_spark.config import DEFAULT_CONFIG, ExtractConfig
+
+# --- payload classification regexes (compiled once per process; the Spark
+# analogue of loading the detector model once per executor,
+# text_recognition.py:37-51) ---------------------------------------------
+_HTML_TAG_RE = re.compile(
+    r"<(?:p|div|a|li|ul|ol|nav|footer|header|h[1-6]|span|body|html|br|td|tr|table|article|section|main|aside)\b",
+    re.IGNORECASE,
+)
+_BLOCK_SPLIT_RE = re.compile(
+    r"</?(?:p|div|li|ul|ol|nav|footer|header|h[1-6]|br|tr|table|article|section|main|aside|body|html)\b[^>]*>",
+    re.IGNORECASE,
+)
+_ANY_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
+_URL_RE = re.compile(r"https?://")
+_MD_MARKER_RE = re.compile(r"(?m)^(?:#{1,6} |- |\* |\d+\. |```)")
+
+_HTML_ENTITIES = [
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+]
+
+# characters counted as "separators" for the link-farm / boilerplate
+# heuristic (the text-density analogue of CRAFT's link-score map).
+_SEP_CHARS = set("|·•,;/>[](){}=<>")
+
+KIND_CONTENT = "content"
+KIND_CODE = "code"
+
+METHOD_PRIMARY = "primary"
+METHOD_FALLBACK = "fallback"
+
+
+# ---------------------------------------------------------------------------
+# parse: raw payload -> normalized canvas text
+# ---------------------------------------------------------------------------
+
+def parse_payload(text: str | None, role: str | None, tool: str | None) -> tuple[str, str]:
+    """Normalize a raw turn payload into canvas text.
+
+    Analogue of the reference's PDF -> 600-DPI image rasterization
+    (PDF_to_image.py:48-63): the downstream pipeline only ever sees the
+    canvas.  Returns ``(norm_text, payload_kind)`` with payload_kind in
+    {'plain','markdown','html','tool_json'}.
+    """
+    if text is None:
+        return "", "plain"
+    stripped = text.strip()
+    if not stripped:
+        return "", "plain"
+
+    # tool-JSON unwrap: a JSON envelope with a nested text field
+    # (FIXTURES.md payload mix #4).
+    if stripped.startswith("{") and stripped.endswith("}"):
+        try:
+            obj = json.loads(stripped)
+        except (ValueError, RecursionError):
+            obj = None
+        if isinstance(obj, dict):
+            for key in ("text", "output", "content", "result"):
+                val = obj.get(key)
+                if isinstance(val, str):
+                    return val, "tool_json"
+            # JSON but no text field: canvas is the compact re-serialization
+            return json.dumps(obj, sort_keys=True, separators=(",", ":")), "tool_json"
+
+    if _HTML_TAG_RE.search(text):
+        return _parse_html(text), "html"
+
+    if _MD_MARKER_RE.search(text):
+        return text, "markdown"
+    return text, "plain"
+
+
+def _parse_html(text: str) -> str:
+    """HTML -> one canvas line per block-level element.
+
+    Block tags split the document; inline tags are stripped; a handful of
+    entities decode; intra-block whitespace runs collapse to one space.
+    Empty blocks vanish.  Blocks join with '\\n' so line-level detection
+    (detect_spans) sees one block per line.
+    """
+    blocks = _BLOCK_SPLIT_RE.split(text)
+    out: list[str] = []
+    for raw in blocks:
+        b = _ANY_TAG_RE.sub("", raw)
+        for ent, ch in _HTML_ENTITIES:
+            b = b.replace(ent, ch)
+        b = _WS_RUN_RE.sub(" ", b).strip()
+        # a block may still contain newlines from source formatting;
+        # collapse them so the block is exactly one canvas line
+        b = " ".join(s for s in (p.strip() for p in b.split("\n")) if s)
+        if b:
+            out.append(b)
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# segment: canvas -> overlapping blocks with origins
+# ---------------------------------------------------------------------------
+
+def segment_offsets(n: int, cfg: ExtractConfig = DEFAULT_CONFIG) -> list[tuple[int, int, int]]:
+    """Overlapping fixed-size char windows over a canvas of length ``n``.
+
+    SAHI-style tiling (sahi_slicer.py:79-135): origins advance by
+    ``step = block_size*(1-overlap)``; the final window is shifted left to
+    end exactly at ``n`` so every char is covered (the 1-D analogue of
+    SAHI's edge-tile shift).  Short inputs yield a single whole-canvas
+    block (the min-image-size guard, sahi_slicer.py:71-76 analogue).
+
+    Returns ``[(block_idx, start, end)]``.
+    """
+    if n <= 0:
+        return []
+    size, step = cfg.block_size, cfg.step
+    if n <= size:
+        return [(0, 0, n)]
+    blocks: list[tuple[int, int, int]] = []
+    idx = 0
+    start = 0
+    while True:
+        if start + size >= n:
+            blocks.append((idx, n - size, n))
+            break
+        blocks.append((idx, start, start + size))
+        idx += 1
+        start += step
+    return blocks
+
+
+def block_id(conv_id: str, turn_idx: int, idx: int) -> str:
+    """Mint a block id, '{conv}_{turn}_B{idx:04d}' (sahi_slicer.py:106 analogue)."""
+    return f"{conv_id}_{turn_idx}_B{idx:04d}"
+
+
+# ---------------------------------------------------------------------------
+# detect: per-block candidate spans + class + confidence
+# ---------------------------------------------------------------------------
+
+def line_features(line: str) -> tuple[int, int, bool, bool]:
+    """Per-line features, all integers.
+
+    Returns ``(alnum_milli, sep_milli, is_code, is_boiler)`` where the
+    densities are in milli-units of the line length.  The density math is
+    the 1-D analogue of CRAFT's text-region/link score maps
+    (text_detection.py:72-99); ``is_code`` is the orientation classifier
+    analogue (text_detection.py:106-115, rotation 0/90 -> content/code).
+    """
+    stripped = line.strip()
+    ln = len(stripped)
+    if ln == 0:
+        return 0, 0, False, True
+    alnum = sum(1 for c in stripped if c.isalnum() or c == " ")
+    seps = sum(1 for c in stripped if c in _SEP_CHARS)
+    alnum_milli = (1000 * alnum) // ln
+    sep_milli = (1000 * seps) // ln
+    is_code = line.startswith(("    ", "\t", "```"))
+    is_boiler = (
+        alnum_milli < DEFAULT_CONFIG.min_alnum_density_milli
+        or sep_milli > DEFAULT_CONFIG.max_sep_density_milli
+        or bool(_URL_RE.search(stripped))
+        # link-farm / footer heuristics: pipe- or dot-separated short link
+        # texts and copyright lines (the link-density analogue of the
+        # reference's CRAFT link-score map, text_detection.py:72-99)
+        or stripped.count("|") >= 2
+        or stripped.count("·") >= 2
+        or "©" in stripped
+    )
+    # code lines are low-density but are content, not boilerplate
+    if is_code:
+        is_boiler = False
+    return alnum_milli, sep_milli, is_code, is_boiler
+
+
+def detect_spans(
+    norm_text: str,
+    b_start: int,
+    b_end: int,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> list[tuple[int, int, str, int]]:
+    """Find candidate content spans inside one block.
+
+    Operates on ``norm_text[b_start:b_end]``; maximal runs of consecutive
+    content lines merge into one candidate (the detect stage,
+    text_detection.py:49-104).  Line fragments cut by the block boundary
+    are classified as-is -- the overlapping neighbour block sees the whole
+    line, and suppression/clustering reconciles the duplicates, exactly as
+    the reference's tile overlap + grouping does.
+
+    Returns block-LOCAL ``[(s, e, kind, conf_milli)]`` with s < e.
+    kind: 'code' iff more than half the run's chars sit on code-like lines.
+    conf_milli: (1000 * alnum_chars) // run_chars over the run's lines --
+    integer, so merge-stage aggregation stays exact.
+    """
+    block_text = norm_text[b_start:b_end]
+    if not block_text:
+        return []
+    spans: list[tuple[int, int, str, int]] = []
+    run_start: int | None = None
+    run_alnum = 0
+    run_len = 0
+    code_len = 0
+    pos = 0
+
+    def flush(end_pos: int) -> None:
+        nonlocal run_start, run_alnum, run_len, code_len
+        if run_start is not None and end_pos > run_start:
+            kind = KIND_CODE if 2 * code_len > run_len else KIND_CONTENT
+            conf = (1000 * run_alnum) // run_len if run_len > 0 else 0
+            spans.append((run_start, end_pos, kind, conf))
+        run_start, run_alnum, run_len, code_len = None, 0, 0, 0
+
+    for line in block_text.split("\n"):
+        line_end = pos + len(line)
+        alnum_milli, _sep, is_code, is_boiler = line_features(line)
+        stripped_len = len(line.strip())
+        if is_boiler or stripped_len == 0:
+            flush(prev_end(pos, block_text))
+        else:
+            if run_start is None:
+                # span starts at first non-space char of the line
+                lead = len(line) - len(line.lstrip())
+                run_start = pos + lead
+            run_len += stripped_len
+            run_alnum += sum(1 for c in line.strip() if c.isalnum() or c == " ")
+            if is_code:
+                code_len += stripped_len
+        pos = line_end + 1  # +1 for the '\n'
+    # close the final run at the last non-space char
+    if run_start is not None:
+        tail = len(block_text) - len(block_text.rstrip())
+        flush(len(block_text) - tail)
+    return spans
+
+
+def line_bounds(norm_text: str, g_start: int, g_end: int) -> tuple[int, int]:
+    """Line-boundary clamps for crop padding, turn-global.
+
+    The reference pads crops into the raw image clamped only at image
+    bounds (cropping_Images.py:44-47); in text space unrestricted padding
+    would leak bytes of *adjacent (possibly boilerplate) lines* into the
+    extracted span, so padding additionally clamps at the span's own line
+    boundaries: ``line_start`` = char after the previous newline before
+    g_start, ``line_end`` = next newline at/after g_end (or len).
+    """
+    ls = norm_text.rfind("\n", 0, g_start) + 1
+    le = norm_text.find("\n", g_end)
+    if le == -1:
+        le = len(norm_text)
+    return ls, le
+
+
+def prev_end(pos: int, block_text: str) -> int:
+    """End offset of the previous line run: strip trailing spaces before pos-1."""
+    e = pos - 1 if pos > 0 else 0
+    while e > 0 and block_text[e - 1] in " \t":
+        e -= 1
+    return e
+
+
+# ---------------------------------------------------------------------------
+# normalize: cropped span text -> final text with confidence gate
+# ---------------------------------------------------------------------------
+
+def normalize_text(cropped: str, conf_milli: int, cfg: ExtractConfig = DEFAULT_CONFIG) -> tuple[str, str]:
+    """Primary normalizer with confidence-gated fallback.
+
+    Analogue of TrOCR-then-EasyOCR (text_recognition.py:111-131): at or
+    above the gate the primary normalizer (ASCII trim) runs; below it the
+    fallback additionally collapses internal whitespace runs and joins with
+    single spaces (the ' '.join of fallback fragments,
+    text_recognition.py:92).  Returns ``(text, method)``.
+    """
+    if conf_milli >= cfg.conf_threshold_milli:
+        return _ascii_strip(cropped), METHOD_PRIMARY
+    parts = [p for p in re.split(r"[ \t\r\n\f\v]+", cropped) if p]
+    return " ".join(parts), METHOD_FALLBACK
+
+
+def _ascii_strip(s: str) -> str:
+    return s.strip(" \t\r\n\f\v")

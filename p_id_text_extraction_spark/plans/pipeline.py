@@ -1,0 +1,59 @@
+"""Pipeline assembly: one lazy DataFrame chain, one shuffle, plus metrics.
+
+The Spark equivalent of `run_pipeline.py:331-395`'s nine sequential stages:
+``read -> [anti-join checkpoint] -> repartition(conv_id, turn_idx) ->
+detect_udf+explode -> window sweep (suppress) -> window (cluster) ->
+groupBy agg (merge) -> substring (crop) -> normalize_udf -> coord ->
+row_number (rank) -> write`` (SURVEY.md section 3.1).  Catalyst sees a
+single declarative plan; the only exchange is the upfront repartition --
+the suppress/cluster windows, the merge aggregate and the rank window all
+declare (a superset of) the same clustering keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from p_id_text_extraction_spark.config import DEFAULT_CONFIG, ExtractConfig
+from p_id_text_extraction_spark.functions.udfs import make_detect_udf, make_normalize_udf
+from p_id_text_extraction_spark.operators import extract as ops
+
+
+def extract_pipeline(
+    turns: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+    num_partitions: int | None = None,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Full extraction plan over a transcripts DataFrame.
+
+    Output schema per FIXTURES.md section 2 (the `extracted_spans` table).
+    Pass an `Observation` to collect lineage counters (turns in, candidate
+    spans, the analogue of grouping_logic.py:966-989's printed metrics)
+    without a second pass over the data.
+    """
+    cfg.validate()
+    detect_udf = make_detect_udf(cfg)
+    normalize_udf = make_normalize_udf(cfg)
+
+    cands = ops.candidates(turns, detect_udf, num_partitions)
+    if observation is not None:
+        # counters ride the candidate scan -- no extra job
+        cands = cands.observe(
+            observation,
+            F.count_distinct(F.col("conv_id"), F.col("turn_idx")).alias("turns_with_candidates"),
+            F.count(F.lit(1)).alias("candidates_in"),
+        )
+    kept = ops.suppress(cands, cfg)
+    merged = ops.merge(ops.cluster(kept, cfg))
+    # normalize (the only other Python kernel) runs AFTER the rank window --
+    # EvalPythonExec drops partitioning info, so keeping it last preserves
+    # the single-exchange plan shape
+    final = ops.normalize(ops.rank(ops.coord(ops.crop(merged, cfg), cfg)), normalize_udf)
+    return final.select(*ops.OUTPUT_COLUMNS)
+
+
+def run_metrics(observation: Observation) -> dict:
+    """Materialized counter values; call after an action on the plan."""
+    return dict(observation.get)
