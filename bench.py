@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Main mode: times the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], runs the extraction
+pipeline at TWO parallelism levels (N and 4N cores, separate subprocesses
+so JVM/JIT state cannot leak between levels) over the same deterministic
+bench transcripts table, and prints ONE JSON line:
+
+    {"metric": "...", "value": <turns/sec at 4N>, "unit": "...",
+     "queries": {...}, "sf": ..., "scaling": {...}}
+
+Scaling evidence for the north_rule's two-cluster-size criterion
+(BASELINE.md): efficiency = (throughput_4N / throughput_N) / 4.
+Results also land in BENCH/BASELINE.md.
+
+Subprocess mode (internal): bench.py --extract-run <cores> <parquet_path>
+prints {"turns": N, "wall_s": W} for one pipeline run at local[cores].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_TURNS_CONVS = int(os.environ.get("BENCH_CONVS", "12000"))
+BENCH_TRANSCRIPTS = os.environ.get(
+    "BENCH_TRANSCRIPTS", f"/tmp/bench_transcripts_c{BENCH_TURNS_CONVS}_v1.parquet"
+)
+
+HEADLINE = [
+    "extract_full",
+    "extract_pipeline_core",
+    "agg_pricing_summary",
+    "join_broadcast_enrich",
+    "window_rank_orders",
+    "sessionize_events",
+    "interval_clusters",
+    "provenance_sets",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "doc_quality_score",
+]
+
+
+def ensure_bench_transcripts(spark) -> str:
+    """Deterministic bench table (FIXTURES.md 'bench'): ~zipf turns/conv."""
+    if not os.path.exists(BENCH_TRANSCRIPTS):
+        from p_id_text_extraction_spark.sources.transcripts import distributed_transcripts
+        distributed_transcripts(spark, BENCH_TURNS_CONVS).write.mode("overwrite").parquet(BENCH_TRANSCRIPTS)
+    return BENCH_TRANSCRIPTS
+
+
+def extract_run(cores: int, path: str) -> None:
+    """Subprocess body: one full pipeline run, wall-timed after session-up."""
+    from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
+    from p_id_text_extraction_spark.session import get_spark
+    from p_id_text_extraction_spark.sources.transcripts import read_transcripts
+
+    spark = get_spark(app=f"bench_extract_{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    turns = read_transcripts(spark, path)
+    n_turns = turns.count()
+    # warm-up: FULL pipeline pass (untimed) so every python worker, the
+    # Arrow path, and JIT are hot before measurement -- otherwise the
+    # timed run at high core counts pays one python-worker cold start per
+    # core and the scaling measurement is noise
+    extract_pipeline(turns).write.format("noop").mode("overwrite").save()
+    t0 = time.monotonic()
+    extract_pipeline(turns).write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+    print(json.dumps({"turns": n_turns, "wall_s": wall}))
+    spark.stop()
+
+
+def run_scaling(path: str) -> dict:
+    lo, hi = max(1, CPUS // 4), CPUS
+    out = {}
+    for cores in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extract-run", str(cores), path],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        out[cores] = {"turns": r["turns"], "wall_s": round(r["wall_s"], 3),
+                      "turns_per_sec": round(r["turns"] / r["wall_s"], 1)}
+    eff = (out[hi]["turns_per_sec"] / out[lo]["turns_per_sec"]) / (hi / lo)
+    return {"cores_n": lo, "cores_4n": hi,
+            "throughput_n": out[lo]["turns_per_sec"],
+            "throughput_4n": out[hi]["turns_per_sec"],
+            "wall_n_s": out[lo]["wall_s"], "wall_4n_s": out[hi]["wall_s"],
+            "bench_turns": out[hi]["turns"],
+            "efficiency": round(eff, 3)}
+
+
+def write_baseline_md(scaling: dict, queries: dict, sf: str) -> None:
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md -- measured numbers",
+        "",
+        "## Extraction throughput + scaling (north_rule criterion)",
+        "",
+        f"Bench table: {scaling['bench_turns']} turns (deterministic generator, seed=42),",
+        "identical input at both parallelism levels; separate subprocesses per level.",
+        "",
+        "| parallelism | wall s | turns/sec |",
+        "| --- | --- | --- |",
+        f"| local[{scaling['cores_n']}] (N) | {scaling['wall_n_s']} | {scaling['throughput_n']} |",
+        f"| local[{scaling['cores_4n']}] (4N) | {scaling['wall_4n_s']} | {scaling['throughput_4n']} |",
+        "",
+        f"**scaling efficiency = (T_4N/T_N)/4 = {scaling['efficiency']}** (target >= 0.8)",
+        "",
+        f"## Headline query wall times ({sf}, local[{CPUS}])",
+        "",
+        "| query | sec |",
+        "| --- | --- |",
+    ]
+    for q, s in queries.items():
+        lines.append(f"| {q} | {s} |")
+    lines.append("")
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--extract-run":
+        extract_run(int(sys.argv[2]), sys.argv[3])
+        return
+
+    from p_id_text_extraction_spark.plans.queries import QUERIES
+    from p_id_text_extraction_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
+    path = ensure_bench_transcripts(spark)
+
+    queries = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    scaling = run_scaling(path)
+    write_baseline_md(scaling, queries, SF_DIR)
+
+    print(json.dumps({
+        "metric": "extraction turns/sec at local[4N] + scaling efficiency N->4N",
+        "value": scaling["throughput_4n"],
+        "unit": "turns/sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  brute_force_topk -- exact cosine top-k: broadcast the (small) query set
+                      against the corpus; JVM-side zip_with/aggregate dot
+                      products, rank via window.  The correctness baseline.
+  lsh_ann_topk     -- random-hyperplane LSH: deterministic sign-bit bucket
+                      key, candidates only meet bucket-mates (multi-probe
+                      over several independent tables), exact rerank inside
+                      the candidate set.  The 100 TB scale path: cost is
+                      O(candidates) not O(corpus) per query.
+
+Rank output is integer-only (rank + ids + cos_milli) so the DuckDB oracle
+matches despite cross-engine float-summation-order differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str = "embedding") -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(v: F.Column) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+def brute_force_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact cosine top-k: query set = vec_id < n_queries (deterministic).
+
+    The query side is tiny -> broadcast join; Catalyst keeps the corpus
+    scan pruned to (vec_id, embedding).  Ranking is a per-query window.
+    """
+    corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.floor(F.lit(100000) * dot / (F.col("qnrm") * F.col("nrm"))).cast("long").alias("cos_e5"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_e5")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side, broadcast as literals)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(np.float64).tolist()
+
+
+def _bucket_key(v: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-bit bucket id for one LSH table: bit i = sign(v . plane_i)."""
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        key = key.bitwiseXOR(F.shiftleft(F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i))
+    return key
+
+
+def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                 n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+                 dim: int = 64) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH + exact rerank.
+
+    Each vector lands in one bucket per table; query candidates = union of
+    its buckets across tables.  Equality join on (table, bucket) -- a plain
+    shuffle-hash join that scales linearly; brute-force cosine only inside
+    the candidate set.
+    """
+    corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    tables = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + t)
+        tables.append(corpus.select(
+            "vec_id", "v", "nrm", F.lit(t).alias("tbl"), _bucket_key(F.col("v"), planes).alias("bucket"),
+        ))
+    bucketed = tables[0]
+    for t in tables[1:]:
+        bucketed = bucketed.unionByName(t)
+
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+        "tbl", "bucket",
+    )
+    cand = (
+        bucketed.join(q, ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.floor(F.lit(100000) * dot / (F.col("qnrm") * F.col("nrm"))).cast("long").alias("cos_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_e5")
+    )

@@ -1,0 +1,77 @@
+"""Text-analysis operators over a documents table (training-data pipeline ops).
+
+Every score is either an integer milli-unit or a single IEEE-double op on
+integers, so the DuckDB oracle reproduces values bit-for-bit.  All logic is
+JVM-side `pyspark.sql.functions` -- whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# stopword markers for the n-gram-free language-ID heuristic; chosen to be
+# expressible as identical LIKE/regexp predicates in Spark SQL and DuckDB
+LANG_MARKERS = [
+    ("en", r"\b(the|and|of|to)\b"),
+    ("es", r"\b(el|la|de|que)\b"),
+    ("fr", r"\b(le|la|et|les)\b"),
+    ("de", r"\b(der|die|und|das)\b"),
+]
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token counting + a BPE-ish subword estimate.
+
+    ``n_tokens``: split on space runs.  ``n_subwords``: every run of <=4
+    chars of the same class (alpha / digit / other) counts one -- a cheap
+    deterministic proxy for BPE piece counts.
+    """
+    trimmed = F.trim(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(trimmed) == 0, F.lit(0))
+         .otherwise(F.size(F.split(trimmed, " +"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (F.length(trimmed) - F.length(F.regexp_replace(trimmed, r"[a-zA-Z0-9]{1,4}", ""))).alias("subword_chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: length, alpha/space/punct density (milli-units).
+
+    The documents-table analogue of the boilerplate classifier's density
+    features (text_detection.py:72-99 analogue; same integer-milli scheme
+    as oracle/spec.line_features).
+    """
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars_actual"),
+        F.floor(F.lit(1000) * alpha / n).cast("int").alias("alpha_milli"),
+        F.floor(F.lit(1000) * digit / n).cast("int").alias("digit_milli"),
+        F.floor(F.lit(1000) * space / n).cast("int").alias("space_milli"),
+        (
+            F.floor(F.lit(1000) * alpha / n).cast("int")
+            - F.floor(F.lit(500) * digit / n).cast("int")
+        ).alias("quality_milli"),
+    ).filter(n > 0)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic, deterministic)."""
+    pred = F.lit("unk")
+    # build reversed so earlier markers take precedence
+    for code, pattern in reversed(LANG_MARKERS):
+        pred = F.when(F.regexp_like(F.lower("text"), F.lit(pattern)), F.lit(code)).otherwise(pred)
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the casefolded, space-collapsed text
+    (rolling-hash analogue; exact-dedup key)."""
+    normalized = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    return docs.select("doc_id", F.md5(normalized).alias("fp"))

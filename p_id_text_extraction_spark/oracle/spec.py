@@ -169,28 +169,38 @@ def block_id(conv_id: str, turn_idx: int, idx: int) -> str:
 # detect: per-block candidate spans + class + confidence
 # ---------------------------------------------------------------------------
 
-def line_features(line: str) -> tuple[int, int, bool, bool]:
+# single-pass counting regexes (hot path: one C-level scan each instead of
+# per-char Python loops).  "alnum" is defined as regex word chars + space
+# ([^\W] includes unicode letters/digits/underscore) -- the spec definition;
+# oracle and UDF share this exact code so cross-impl equality is structural.
+_NON_ALNUMSP_RE = re.compile(r"[^\w ]")
+_SEP_RE = re.compile(r"[|·•,;/>\[\](){}=<]")
+
+
+def line_features(line: str) -> tuple[int, int, int, bool, bool]:
     """Per-line features, all integers.
 
-    Returns ``(alnum_milli, sep_milli, is_code, is_boiler)`` where the
-    densities are in milli-units of the line length.  The density math is
-    the 1-D analogue of CRAFT's text-region/link score maps
-    (text_detection.py:72-99); ``is_code`` is the orientation classifier
-    analogue (text_detection.py:106-115, rotation 0/90 -> content/code).
+    Returns ``(alnum_count, alnum_milli, stripped_len, is_code, is_boiler)``
+    where the densities are in milli-units of the stripped line length.
+    The density math is the 1-D analogue of CRAFT's text-region/link score
+    maps (text_detection.py:72-99); ``is_code`` is the orientation
+    classifier analogue (text_detection.py:106-115, rotation 0/90 ->
+    content/code).
     """
     stripped = line.strip()
     ln = len(stripped)
     if ln == 0:
-        return 0, 0, False, True
-    alnum = sum(1 for c in stripped if c.isalnum() or c == " ")
-    seps = sum(1 for c in stripped if c in _SEP_CHARS)
+        return 0, 0, 0, False, True
+    # one sub() pass each: survivors of removing non-(word|space) chars
+    alnum = len(_NON_ALNUMSP_RE.sub("", stripped))
     alnum_milli = (1000 * alnum) // ln
+    seps = ln - len(_SEP_RE.sub("", stripped))
     sep_milli = (1000 * seps) // ln
     is_code = line.startswith(("    ", "\t", "```"))
     is_boiler = (
         alnum_milli < DEFAULT_CONFIG.min_alnum_density_milli
         or sep_milli > DEFAULT_CONFIG.max_sep_density_milli
-        or bool(_URL_RE.search(stripped))
+        or "http://" in stripped or "https://" in stripped
         # link-farm / footer heuristics: pipe- or dot-separated short link
         # texts and copyright lines (the link-density analogue of the
         # reference's CRAFT link-score map, text_detection.py:72-99)
@@ -201,7 +211,7 @@ def line_features(line: str) -> tuple[int, int, bool, bool]:
     # code lines are low-density but are content, not boilerplate
     if is_code:
         is_boiler = False
-    return alnum_milli, sep_milli, is_code, is_boiler
+    return alnum, alnum_milli, ln, is_code, is_boiler
 
 
 def detect_spans(
@@ -244,8 +254,7 @@ def detect_spans(
 
     for line in block_text.split("\n"):
         line_end = pos + len(line)
-        alnum_milli, _sep, is_code, is_boiler = line_features(line)
-        stripped_len = len(line.strip())
+        alnum, _alnum_milli, stripped_len, is_code, is_boiler = line_features(line)
         if is_boiler or stripped_len == 0:
             flush(prev_end(pos, block_text))
         else:
@@ -254,7 +263,7 @@ def detect_spans(
                 lead = len(line) - len(line.lstrip())
                 run_start = pos + lead
             run_len += stripped_len
-            run_alnum += sum(1 for c in line.strip() if c.isalnum() or c == " ")
+            run_alnum += alnum
             if is_code:
                 code_len += stripped_len
         pos = line_end + 1  # +1 for the '\n'

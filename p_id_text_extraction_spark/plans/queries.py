@@ -1,0 +1,656 @@
+"""Named queries over the driver's parquet tables + their DuckDB oracles.
+
+Every entry in QUERIES is a (spark, sf_dir) -> DataFrame callable; ORACLES
+holds the ANSI-SQL twin DuckDB runs on the same files.  Determinism rules
+for cross-engine value-hash equality:
+  * aggregates of integers only (floats are floored to cents/milli first --
+    `floor` of the *same* IEEE-double expression is bit-stable across
+    engines since both evaluate identical operation DAGs);
+  * float outputs restricted to single divisions of identical integers;
+  * array outputs serialized as sorted CSV strings;
+  * ranking outputs carry integer ranks, never raw float scores.
+
+Queries with no ORACLES entry (pandas-UDF extraction, xxhash64 sketches,
+LSH ANN, multimodal) get the driver's rows-only check and are instead
+verified by pytest property/golden tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from p_id_text_extraction_spark.config import DEFAULT_CONFIG
+from p_id_text_extraction_spark.operators import dedup, multimodal, similarity, textstats
+from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
+from p_id_text_extraction_spark.sources.transcripts import derive_transcripts_from_documents
+
+_B = DEFAULT_CONFIG.block_size      # 256
+_S = DEFAULT_CONFIG.step            # 230
+_PAD = DEFAULT_CONFIG.pad           # 8
+_TH = DEFAULT_CONFIG.contain_threshold_milli  # 900
+_GAP = DEFAULT_CONFIG.proximity_gap  # 1
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# extraction pipeline (documents-derived)
+# ---------------------------------------------------------------------------
+
+def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the full extraction pipeline (pandas-UDF detect kernel) over
+    transcripts derived from the documents table.  Rows-only driver check;
+    byte-equality is covered by tests/test_pipeline_golden.py."""
+    turns = derive_transcripts_from_documents(spark, sf_dir)
+    return extract_pipeline(turns).withColumn("provenance", F.array_join("provenance", ","))
+
+
+def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation arithmetic (W1) as pure column expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    d = docs.select("doc_id", "text", n.alias("n")).filter(F.col("n") > 0)
+    nb = F.when(F.col("n") <= _B, F.lit(1)).otherwise(
+        F.floor((F.col("n") - _B - 1) / _S).cast("int") + 2
+    )
+    blk = d.withColumn("nb", nb).select(
+        "doc_id", "text", "n", "nb", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("k")
+    )
+    is_short = F.col("n") <= _B
+    is_final = F.col("k") == F.col("nb") - 1
+    b_start = F.when(is_short, F.lit(0)).when(is_final, F.col("n") - _B).otherwise(F.col("k") * _S)
+    b_end = F.when(is_short, F.col("n")).when(is_final, F.col("n")).otherwise(F.col("k") * _S + _B)
+    return blk.select("doc_id", "text", "n",
+                      F.col("k").alias("block_idx"),
+                      b_start.cast("int").alias("s"),
+                      b_end.cast("int").alias("e"))
+
+
+_BLOCKS_SQL = f"""
+    SELECT doc_id, text, n, CAST(k AS INT) AS block_idx,
+           CAST(CASE WHEN n <= {_B} THEN 0
+                     WHEN k = nb - 1 THEN n - {_B}
+                     ELSE k * {_S} END AS INT) AS s,
+           CAST(CASE WHEN n <= {_B} THEN n
+                     WHEN k = nb - 1 THEN n
+                     ELSE k * {_S} + {_B} END AS INT) AS e
+    FROM (
+        SELECT doc_id, text, n, nb, unnest(generate_series(0, nb - 1)) AS k
+        FROM (
+            SELECT doc_id, text, length(text) AS n,
+                   CASE WHEN length(text) <= {_B} THEN 1
+                        ELSE CAST(floor((length(text) - {_B} - 1) / {_S}) AS INT) + 2 END AS nb
+            FROM documents WHERE length(text) > 0
+        )
+    )
+"""
+
+
+def q_extract_segment_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _blocks(spark, sf_dir).select("doc_id", "block_idx", "s", "e")
+
+
+def q_extract_pipeline_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational core (suppress -> cluster -> merge -> crop -> rank)
+    with blocks as candidate intervals -- every post-detect stage of the
+    engine, fully SQL-expressible so DuckDB checks it end-to-end."""
+    cand = _blocks(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").asc(), F.col("e").desc(), F.col("block_idx").asc())
+    runmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    keep = runmax.isNull() | (runmax <= F.col("s")) | (
+        (F.least(F.col("e"), runmax) - F.col("s")) * 1000 < F.lit(_TH) * (F.col("e") - F.col("s"))
+    )
+    kept = cand.withColumn("_keep", keep).filter(F.col("_keep")).drop("_keep")
+
+    w2 = Window.partitionBy("doc_id").orderBy(F.col("s").asc(), F.col("e").desc(), F.col("block_idx").asc())
+    prevmax = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(prevmax.isNull() | (F.col("s") > prevmax + _GAP), 1).otherwise(0)
+    clustered = kept.withColumn("cid", F.sum(is_new).over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+
+    merged = clustered.groupBy("doc_id", "text", "n", "cid").agg(
+        F.min("s").alias("m_start"),
+        F.max("e").alias("m_end"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.lpad(F.col("block_idx").cast("string"), 4, "0"))), ","
+        ).alias("provenance_csv"),
+    )
+    c_start = F.greatest(F.lit(0), F.col("m_start") - _PAD)
+    c_end = F.least(F.col("n"), F.col("m_end") + _PAD)
+    out = merged.select(
+        "doc_id",
+        c_start.cast("int").alias("start"),
+        c_end.cast("int").alias("end"),
+        F.col("text").substr(c_start + 1, c_end - c_start).alias("span_text"),
+        "n_members",
+        "provenance_csv",
+        (F.col("n_members") > 1).alias("is_grouped"),
+    )
+    w3 = Window.partitionBy("doc_id").orderBy("start", "end")
+    return out.withColumn("span_rank", F.row_number().over(w3)).select(
+        "doc_id", "span_rank", "start", "end", "span_text", "n_members", "provenance_csv", "is_grouped"
+    )
+
+
+_PIPELINE_CORE_SQL = f"""
+    WITH cand AS ({_BLOCKS_SQL}),
+    sw AS (
+        SELECT *,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e DESC, block_idx ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        FROM cand
+    ),
+    kept AS (
+        SELECT doc_id, text, n, block_idx, s, e FROM sw
+        WHERE runmax IS NULL OR runmax <= s
+              OR (least(e, runmax) - s) * 1000 < {_TH} * (e - s)
+    ),
+    cl AS (
+        SELECT *,
+               SUM(CASE WHEN prevmax IS NULL OR s > prevmax + {_GAP} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s ASC, e DESC, block_idx ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+        FROM (
+            SELECT *,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e DESC, block_idx ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+            FROM kept
+        )
+    ),
+    merged AS (
+        SELECT doc_id, text, n, cid,
+               min(s) AS m_start, max(e) AS m_end,
+               count(*) AS n_members,
+               array_to_string(list_sort(list(DISTINCT lpad(CAST(block_idx AS VARCHAR), 4, '0'))), ',') AS provenance_csv
+        FROM cl GROUP BY doc_id, text, n, cid
+    ),
+    cropped AS (
+        SELECT doc_id,
+               CAST(greatest(0, m_start - {_PAD}) AS INT) AS start,
+               CAST(least(n, m_end + {_PAD}) AS INT) AS "end",
+               substring(text, greatest(0, m_start - {_PAD}) + 1,
+                         least(n, m_end + {_PAD}) - greatest(0, m_start - {_PAD})) AS span_text,
+               n_members, provenance_csv, n_members > 1 AS is_grouped
+        FROM merged
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start, "end") AS INT) AS span_rank,
+           start, "end", span_text, n_members, provenance_csv, is_grouped
+    FROM cropped
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operators (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash aggregate with map-side combine (A2/A6): all money floored to
+    integer cents BEFORE summing, so the sum is order-free and exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_AGG_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment chain (J1): both dims broadcast -- no shuffle of
+    the fact side at any scale."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.floor(F.col("s_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+            F.countDistinct("n_nationkey").alias("n_nations"),
+        )
+    )
+
+
+_JOIN_ENRICH_SQL = """
+    SELECT r_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents,
+           COUNT(DISTINCT n_nationkey) AS n_nations
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
+def q_window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (W2/P11 analogue)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_cents"))
+    )
+
+
+_WINDOW_RANK_SQL = """
+    SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+"""
+
+
+def q_running_max_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-high sweep: the W4 running-max window frame on a second domain."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prevmax = F.max("value").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        ev.withColumn("prevmax", prevmax)
+        .filter(F.col("prevmax").isNull() | (F.col("value") > F.col("prevmax")))
+        .select("user_id", "event_id", F.floor(F.col("value") * 100).cast("long").alias("value_cents"))
+    )
+
+
+_RUNNING_MAX_SQL = """
+    SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS value_cents
+    FROM (
+        SELECT user_id, event_id, value,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        FROM events
+    ) WHERE prevmax IS NULL OR value > prevmax
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union clustering on the time axis (A1 on a second domain):
+    10-minute-gap sessions via lag + cumulative sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is the
+    # identity on instants, matching DuckDB's epoch_ms on naive timestamps
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    lag_ms = F.lag(ms).over(w)
+    is_new = F.when(lag_ms.isNull() | (ms - lag_ms > 600000), 1).otherwise(0)
+    return (
+        ev.withColumn("session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+_SESSIONIZE_SQL = """
+    SELECT user_id, CAST(session_id_h AS BIGINT) AS session_id, COUNT(*) AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               SUM(CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 600000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id_h
+        FROM (
+            SELECT *, lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id_h
+"""
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join against a checkpoint manifest (J7): manifest =
+    orders with o_orderkey % 10 < 3 'already done'."""
+    o = _t(spark, sf_dir, "orders")
+    done = o.filter(F.col("o_orderkey") % 10 < 3).select("o_orderkey")
+    return (
+        o.join(done, "o_orderkey", "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_remaining"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("remaining_cents"),
+        )
+    )
+
+
+_RESUME_ANTI_SQL = """
+    SELECT o_orderstatus, COUNT(*) AS n_remaining,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS remaining_cents
+    FROM orders
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 < 3)
+    GROUP BY o_orderstatus
+"""
+
+
+def q_provenance_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted provenance set union (A3/W3/U2): per order, the distinct
+    supplier set as a sorted CSV (array_sort(collect_set) analogue)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.lpad(F.col("l_suppkey").cast("string"), 6, "0"))), ","
+        ).alias("suppliers_csv"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+_PROVENANCE_SQL = """
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(DISTINCT lpad(CAST(l_suppkey AS VARCHAR), 6, '0'))), ',') AS suppliers_csv,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup (the hypertable-ish aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+_HOURLY_SQL = """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_interval_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """suppress + cluster + merge (F3/A1/A2) on synthetic dense intervals:
+    s = floor(value*100), e = s + event_id%97 + 5, per user."""
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select(
+        "user_id", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("s"),
+        (F.floor(F.col("value") * 100).cast("long") + F.col("event_id") % 97 + 5).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("s").asc(), F.col("e").desc(), F.col("event_id").asc())
+    runmax = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    keep = runmax.isNull() | (runmax <= F.col("s")) | (
+        (F.least(F.col("e"), runmax) - F.col("s")) * 1000 < F.lit(_TH) * (F.col("e") - F.col("s"))
+    )
+    kept = cand.withColumn("_k", keep).filter(F.col("_k")).drop("_k")
+    w2 = Window.partitionBy("user_id").orderBy(F.col("s").asc(), F.col("e").desc(), F.col("event_id").asc())
+    prevmax = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(prevmax.isNull() | (F.col("s") > prevmax + _GAP), 1).otherwise(0)
+    return (
+        kept.withColumn("cid", F.sum(is_new).over(w2.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "cid")
+        .agg(F.min("s").alias("m_start"), F.max("e").alias("m_end"), F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+_INTERVAL_CLUSTERS_SQL = f"""
+    WITH cand AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS s,
+               CAST(floor(value * 100) AS BIGINT) + event_id % 97 + 5 AS e
+        FROM events
+    ),
+    sw AS (
+        SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s ASC, e DESC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        FROM cand
+    ),
+    kept AS (
+        SELECT user_id, event_id, s, e FROM sw
+        WHERE runmax IS NULL OR runmax <= s OR (least(e, runmax) - s) * 1000 < {_TH} * (e - s)
+    ),
+    cl AS (
+        SELECT *, SUM(CASE WHEN prevmax IS NULL OR s > prevmax + {_GAP} THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY s ASC, e DESC, event_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+        FROM (
+            SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s ASC, e DESC, event_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+            FROM kept
+        )
+    )
+    SELECT user_id, CAST(cid AS BIGINT) AS cid, min(s) AS m_start, max(e) AS m_end, COUNT(*) AS n_members
+    FROM cl GROUP BY user_id, cid
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_t(spark, sf_dir, "documents"))
+
+
+_TOKEN_COUNT_SQL = """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(text), ' +')) AS INT) END AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_actual,
+           CAST(length(trim(text)) - length(regexp_replace(trim(text), '[a-zA-Z0-9]{1,4}', '', 'g')) AS INT) AS subword_chars
+    FROM documents
+"""
+
+
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_SQL = """
+    SELECT doc_id, CAST(length(text) AS INT) AS n_chars_actual,
+           CAST(floor(1000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text)) AS INT) AS alpha_milli,
+           CAST(floor(1000 * length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)) AS INT) AS digit_milli,
+           CAST(floor(1000 * length(regexp_replace(text, '[^ ]', '', 'g')) / length(text)) AS INT) AS space_milli,
+           CAST(floor(1000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text)) AS INT)
+             - CAST(floor(500 * length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)) AS INT) AS quality_milli
+    FROM documents WHERE length(text) > 0
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+
+
+_LANG_ID_SQL = r"""
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(lower(text), '\b(the|and|of|to)\b') THEN 'en'
+                WHEN regexp_matches(lower(text), '\b(el|la|de|que)\b') THEN 'es'
+                WHEN regexp_matches(lower(text), '\b(le|la|et|les)\b') THEN 'fr'
+                WHEN regexp_matches(lower(text), '\b(der|die|und|das)\b') THEN 'de'
+                ELSE 'unk' END AS pred_lang
+    FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_SQL = """
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DEDUP_EXACT_SQL = """
+    SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp,
+           min(doc_id) AS canonical_doc_id, COUNT(*) AS group_size
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+_NGRAM_JACCARD_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                                      i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                    ELSE [] END AS g
+        FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(floor(1000 * n_common / (sa.set_size + sb.set_size - n_common)) AS INT) AS jaccard_milli
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(floor(1000 * n_common / (sa.set_size + sb.set_size - n_common)) AS INT) >= 100
+"""
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"))
+
+
+_SIM_TOPK_SQL = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+    s AS (
+        SELECT query_id, vec_id,
+               CAST(floor(100000 * list_dot_product(qv, v) / (qnrm * nrm)) AS BIGINT) AS cos_e5
+        FROM n CROSS JOIN q WHERE vec_id != query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cos_e5
+    FROM (
+        SELECT query_id, vec_id, cos_e5,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_e5 DESC, vec_id ASC) AS rank
+        FROM s
+    ) WHERE rank <= 5
+"""
+
+
+# rows-only (non-SQL-expressible: xxhash64 sketches, LSH planes, pandas UDFs)
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_ann_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: documents bytes stand in for media blobs."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image").when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("media_type"),
+        (F.col("doc_id") % 1920).cast("int").alias("width"),
+        (F.col("doc_id") % 1080).cast("int").alias("height"),
+        (F.col("doc_id") % 60000).cast("int").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return multimodal.extract_features(media, fake=True)
+
+
+QUERIES = {
+    "extract_full": q_extract_full,
+    "extract_segment_blocks": q_extract_segment_blocks,
+    "extract_pipeline_core": q_extract_pipeline_core,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_broadcast_enrich": q_join_broadcast_enrich,
+    "window_rank_orders": q_window_rank_orders,
+    "running_max_sweep": q_running_max_sweep,
+    "sessionize_events": q_sessionize_events,
+    "resume_anti_join": q_resume_anti_join,
+    "provenance_sets": q_provenance_sets,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "interval_clusters": q_interval_clusters,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality_score": q_doc_quality_score,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "sim_lsh_ann": q_sim_lsh_ann,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "extract_segment_blocks": f"SELECT doc_id, block_idx, s, e FROM ({_BLOCKS_SQL})",
+    "extract_pipeline_core": _PIPELINE_CORE_SQL,
+    "agg_pricing_summary": _AGG_PRICING_SQL,
+    "join_broadcast_enrich": _JOIN_ENRICH_SQL,
+    "window_rank_orders": _WINDOW_RANK_SQL,
+    "running_max_sweep": _RUNNING_MAX_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
+    "resume_anti_join": _RESUME_ANTI_SQL,
+    "provenance_sets": _PROVENANCE_SQL,
+    "events_hourly_rollup": _HOURLY_SQL,
+    "interval_clusters": _INTERVAL_CLUSTERS_SQL,
+    "doc_token_count": _TOKEN_COUNT_SQL,
+    "doc_quality_score": _QUALITY_SQL,
+    "doc_lang_id": _LANG_ID_SQL,
+    "doc_fingerprint": _FINGERPRINT_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "sim_topk_cosine": _SIM_TOPK_SQL,
+}

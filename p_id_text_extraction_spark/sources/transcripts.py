@@ -153,6 +153,37 @@ def gen_skew_turns(seed: int = 42) -> list[dict]:
     return turns
 
 
+def conv_turn_count(conv_id: str, max_turns: int = 50) -> int:
+    """Turns in a conversation, derived purely from the conv id."""
+    h = hashlib.md5(f"{conv_id}|nturns".encode()).digest()
+    return 1 + int.from_bytes(h[:4], "big") % max_turns
+
+
+def gen_conv(conv_id: str, max_turns: int = 50) -> list[dict]:
+    """All turns of one conversation -- self-contained, no shared RNG, so
+    any worker can mint any slice independently (the property that lets a
+    100 TB bench table be generated in parallel with zero coordination)."""
+    h = hashlib.md5(f"{conv_id}|offset".encode()).digest()
+    offset = int.from_bytes(h[:4], "big") % 10_000
+    return [gen_turn(conv_id, t, offset) for t in range(conv_turn_count(conv_id, max_turns))]
+
+
+def distributed_transcripts(spark: SparkSession, n_convs: int, max_turns: int = 50) -> DataFrame:
+    """Deterministic transcripts table minted IN PARALLEL on executors:
+    spark.range over conv indices -> mapInPandas generating each conv's
+    turns.  Identical output for identical (n_convs, max_turns)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rows.extend(gen_conv(f"conv-{int(i):06d}", max_turns))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    return spark.range(n_convs).repartition(64).mapInPandas(kernel, TRANSCRIPT_SCHEMA)
+
+
 def transcripts_df(spark: SparkSession, turns: list[dict]) -> DataFrame:
     rows = [(t["conv_id"], t["turn_idx"], t["role"], t["text"], t["tool"], t["ts"]) for t in turns]
     return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)

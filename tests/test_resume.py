@@ -1,0 +1,61 @@
+"""Checkpoint/resume property tests (SURVEY.md section 5 strategy #3,
+FIXTURES.md section 3): kill-and-resume must be byte-identical to an
+uninterrupted run; a completed manifest must skip all work."""
+
+from __future__ import annotations
+
+import pytest
+
+from p_id_text_extraction_spark.config import ExtractConfig
+from p_id_text_extraction_spark.plans.checkpoint import job_fingerprint, run_with_resume
+from p_id_text_extraction_spark.sources.transcripts import gen_turns, transcripts_df
+
+KEY = ["conv_id", "turn_idx", "span_rank"]
+
+
+@pytest.fixture(scope="module")
+def turns_df(spark):
+    return transcripts_df(spark, gen_turns(40, max_turns=10, seed=3))
+
+
+def _rows(spark, path):
+    return [tuple(r) for r in spark.read.parquet(path).drop("bucket_id").orderBy(*KEY).collect()]
+
+
+def test_kill_and_resume_identical(spark, turns_df, tmp_path):
+    full_out, full_man = str(tmp_path / "of"), str(tmp_path / "mf")
+    res_out, res_man = str(tmp_path / "or"), str(tmp_path / "mr")
+
+    run_with_resume(spark, turns_df, full_out, full_man, n_buckets=8)
+
+    r1 = run_with_resume(spark, turns_df, res_out, res_man, n_buckets=8, bucket_filter=[0, 1, 2, 3])
+    assert r1["buckets_completed"] == 4
+    r2 = run_with_resume(spark, turns_df, res_out, res_man, n_buckets=8)
+    assert r2["buckets_completed"] == 4
+
+    assert _rows(spark, res_out) == _rows(spark, full_out)
+
+    # idempotent no-op on a complete manifest
+    r3 = run_with_resume(spark, turns_df, res_out, res_man, n_buckets=8)
+    assert r3["buckets_completed"] == 0
+
+
+def test_manifest_lineage_counters(spark, turns_df, tmp_path):
+    out, man = str(tmp_path / "o"), str(tmp_path / "m")
+    run_with_resume(spark, turns_df, out, man, n_buckets=4)
+    rows = spark.read.parquet(man).collect()
+    assert len(rows) == 4
+    assert sum(r.turns_in for r in rows) == turns_df.count()
+    assert sum(r.spans_out for r in rows) == spark.read.parquet(out).count()
+    for r in rows:
+        assert r.spans_out >= 0 and r.turns_in > 0
+
+
+def test_fingerprint_isolation(spark, turns_df, tmp_path):
+    """A manifest row from one config never satisfies another config."""
+    out, man = str(tmp_path / "o"), str(tmp_path / "m")
+    run_with_resume(spark, turns_df, out, man, n_buckets=4)
+    cfg2 = ExtractConfig(pad=4)
+    assert job_fingerprint(cfg2) != job_fingerprint(ExtractConfig())
+    r = run_with_resume(spark, turns_df, str(tmp_path / "o2"), man, cfg=cfg2, n_buckets=4)
+    assert r["buckets_completed"] == 4  # nothing skipped

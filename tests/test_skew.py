@@ -1,0 +1,68 @@
+"""Skew handling (SURVEY.md section 4 partitioning row, 7.3 hard part #4):
+a hot conversation must spread across partitions because the pipeline keys
+on the TURN, not the conversation -- plus byte-equality still holds on the
+skewed fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from p_id_text_extraction_spark.functions.udfs import make_detect_udf
+from p_id_text_extraction_spark.operators.extract import candidates
+from p_id_text_extraction_spark.oracle.pipeline import extract_table
+from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
+from p_id_text_extraction_spark.sources.transcripts import gen_turn, gen_turns, transcripts_df
+
+
+@pytest.fixture(scope="module")
+def skew_turns():
+    """Scaled-down FIXTURES.md skew table: 20 normal convs + one hot conv
+    with 400 turns, every 50th a ~20KB mega-turn."""
+    turns = gen_turns(20, max_turns=10, seed=11)
+    hot = "conv-hot000"
+    from p_id_text_extraction_spark.sources.transcripts import _prose, _rng
+    for t in range(400):
+        row = gen_turn(hot, t, 0)
+        if t % 50 == 0:
+            row["text"] = _prose(_rng(hot, t, "mega"), 40, 60)
+        turns.append(row)
+    return turns
+
+
+def test_hot_conversation_spreads_across_partitions(spark, skew_turns):
+    df = transcripts_df(spark, skew_turns)
+    cand = candidates(df, make_detect_udf(), num_partitions=8)
+    per_part = (
+        cand.filter(F.col("conv_id") == "conv-hot000")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    assert len(per_part) >= 4, f"hot conv stuck in {len(per_part)} partitions"
+    total = sum(r["count"] for r in per_part)
+    biggest = max(r["count"] for r in per_part)
+    assert biggest / total < 0.5, "one partition holds most of the hot conversation"
+
+
+def test_skewed_fixture_byte_equality(spark, skew_turns):
+    got = [
+        (r.conv_id, r.turn_idx, r.span_rank, r.start, r.end, r.text, r.method)
+        for r in extract_pipeline(transcripts_df(spark, skew_turns), num_partitions=8)
+        .orderBy("conv_id", "turn_idx", "span_rank").collect()
+    ]
+    want = [
+        (r["conv_id"], r["turn_idx"], r["span_rank"], r["start"], r["end"], r["text"], r["method"])
+        for r in extract_table(skew_turns)
+    ]
+    assert got == want
+
+
+def test_mega_turn_bounded_blocks(spark, skew_turns):
+    """A 20KB turn segments into ~n/step blocks -- per-row work stays
+    bounded however large the turn (sahi_slicer W1 analogue)."""
+    mega = [t for t in skew_turns if t["conv_id"] == "conv-hot000" and t["turn_idx"] == 0]
+    df = transcripts_df(spark, mega)
+    cand = candidates(df, make_detect_udf(), num_partitions=2)
+    n_blocks = cand.select(F.countDistinct("block_id")).collect()[0][0]
+    text_len = len(mega[0]["text"])
+    assert n_blocks >= text_len // 230

@@ -1,0 +1,150 @@
+"""Property tests for the training-data operators (dedup sketches,
+similarity search, multimodal plumbing) -- the ops whose queries get only
+rows-only driver checks because xxhash64 / LSH planes / pandas kernels have
+no DuckDB twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from p_id_text_extraction_spark.operators import dedup, multimodal, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),          # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),      # near dup of 0
+    (3, "distributed query engines shuffle data between executors during wide stages"),
+    (4, "completely different content about gardening tomatoes in summer heat waves"),
+    (5, "x"),                                                                              # degenerate short
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_identical(spark, docs_df):
+    groups = dedup.exact_dedup(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0].canonical_doc_id == 0
+    assert groups[0].group_size == 2
+
+
+def test_ngram_jaccard_ranks_near_dups(spark, docs_df):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard_milli for r in dedup.ngram_jaccard_pairs(docs_df).collect()}
+    assert pairs[(0, 1)] == 1000          # identical -> jaccard 1.0
+    assert pairs.get((0, 2), 0) >= 500    # near dup: one token differs
+    assert (0, 3) not in pairs            # unrelated
+    assert (3, 4) not in pairs
+
+
+def test_minhash_identical_signatures(spark, docs_df):
+    sigs = {r.doc_id: r.sig for r in dedup.minhash_signatures(docs_df).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+    # near-dup shares most signature positions
+    same = sum(1 for a, b in zip(sigs[0], sigs[2]) if a == b)
+    assert same >= 16  # >=50% of 32 hashes
+
+
+def test_minhash_lsh_candidates(spark, docs_df):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard_milli for r in dedup.minhash_lsh_pairs(docs_df).collect()}
+    assert pairs.get((0, 1)) == 1000      # exact dup always collides
+    assert (0, 2) in pairs                # near dup collides in >=1 band
+    assert (3, 4) not in pairs            # unrelated never meets
+
+
+def test_simhash_hamming_locality(spark, docs_df):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 16
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_brute_force_topk_shape(spark, emb_df):
+    rows = similarity.brute_force_topk(emb_df, n_queries=5, k=3).collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == [1, 2, 3]
+        scores = [r.cos_e5 for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+
+
+def test_lsh_ann_recall_on_clustered_vectors(spark):
+    """ANN recall where locality actually exists: 10 cluster centers x 6
+    noisy copies -- LSH must recover most true neighbors.  (The driver's
+    random embeddings are near-orthogonal, where *no* sublinear ANN has
+    signal; that table only gets the shape test below.)"""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        base = rng.randn(64)
+        for _ in range(6):
+            v = base + 0.15 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = similarity.brute_force_topk(emb, n_queries=10, k=5).collect()
+    ann = similarity.lsh_ann_topk(emb, n_queries=10, k=5, n_planes=6, n_tables=8).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"LSH recall too low on clustered data: {recall}"
+
+
+def test_lsh_ann_shape_on_random_vectors(spark, emb_df):
+    ann = similarity.lsh_ann_topk(emb_df, n_queries=10, k=5, n_planes=6, n_tables=8).collect()
+    assert len(ann) == 50
+    assert all(1 <= r.rank <= 5 for r in ann)
+
+
+def test_multimodal_feature_determinism(spark):
+    media = spark.createDataFrame(
+        [(1, "image", 640, 480, 0, b"payload-bytes"), (2, "audio", 0, 0, 9000, b"other")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    a = {r.media_id: r.feature for r in multimodal.extract_features(media).collect()}
+    b = {r.media_id: r.feature for r in multimodal.extract_features(media).collect()}
+    assert a == b
+    assert len(a[1]) == multimodal.FEATURE_DIM
+    assert a[1] != a[2]
+
+
+def test_multimodal_resolution_gate(spark):
+    media = spark.createDataFrame(
+        [(1, "image", 32, 32, 0, b"small"), (2, "image", 640, 480, 0, b"big"),
+         (3, "audio", 0, 0, 5000, b"aud")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    kept = {r.media_id for r in multimodal.resolution_gate(media).collect()}
+    assert kept == {2, 3}
+
+
+def test_multimodal_frame_plan(spark):
+    media = spark.createDataFrame(
+        [(1, "video", 0, 0, 3500, b"v"), (2, "image", 10, 10, 0, b"i")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert {(r.media_id, r.frame_ts_ms) for r in frames} == {(1, 0), (1, 1000), (1, 2000), (1, 3000)}
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(b"x", "image")
