@@ -1,0 +1,72 @@
+"""spark-submit driver for the extraction pipeline (north_rule run mode).
+
+Cluster:
+    spark-submit --py-files p_id_text_extraction_spark.zip jobs/extract_job.py \
+        --input <transcripts table/path> --output <spans path> \
+        --manifest <checkpoint manifest path> --buckets 4096
+
+Sandbox (local mode):
+    python jobs/extract_job.py --input /tmp/in.parquet --output /tmp/out \
+        --manifest /tmp/manifest --buckets 16 --cores 32
+
+The job is idempotent: rerunning after any failure resumes from the
+checkpoint manifest (left-anti join on bucket x config fingerprint) and
+dynamically overwrites only unfinished bucket partitions -- the
+`--start-at` restart analogue (run_pipeline.py:336-341) at bucket
+granularity.  Counters land in the manifest per bucket (turns_in,
+spans_out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="transcript main-content extraction")
+    p.add_argument("--input", required=True, help="transcripts parquet/Iceberg path")
+    p.add_argument("--output", required=True, help="extracted-spans output path")
+    p.add_argument("--manifest", required=True, help="checkpoint manifest path")
+    p.add_argument("--buckets", type=int, default=256, help="restart granularity")
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox only)")
+    p.add_argument("--block-size", type=int, default=256)
+    p.add_argument("--overlap", type=float, default=0.1)
+    p.add_argument("--pad", type=int, default=8)
+    p.add_argument("--conf-threshold-milli", type=int, default=950)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from p_id_text_extraction_spark.config import ExtractConfig
+    from p_id_text_extraction_spark.plans.checkpoint import run_with_resume
+    from p_id_text_extraction_spark.session import get_spark
+    from p_id_text_extraction_spark.sources.transcripts import read_transcripts
+
+    cfg = ExtractConfig(
+        block_size=args.block_size,
+        overlap=args.overlap,
+        pad=args.pad,
+        conf_threshold_milli=args.conf_threshold_milli,
+    )
+    cfg.validate()  # F9 driver-side parameter validation before job submit
+
+    spark = get_spark(app="extract_job", cores=args.cores)
+    try:
+        turns = read_transcripts(spark, args.input)
+        result = run_with_resume(
+            spark, turns, args.output, args.manifest, cfg=cfg, n_buckets=args.buckets
+        )
+        print(json.dumps(result))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -21,21 +21,15 @@ from pyspark.sql.pandas.functions import pandas_udf
 from p_id_text_extraction_spark.config import DEFAULT_CONFIG, ExtractConfig
 from p_id_text_extraction_spark.oracle import spec
 
-CANDIDATE_STRUCT = T.StructType([
-    T.StructField("block_idx", T.IntegerType(), False),
-    T.StructField("block_id", T.StringType(), False),
-    T.StructField("start", T.IntegerType(), False),
-    T.StructField("end", T.IntegerType(), False),
-    T.StructField("kind", T.StringType(), False),
-    T.StructField("conf_milli", T.IntegerType(), False),
-    T.StructField("line_start", T.IntegerType(), False),
-    T.StructField("line_end", T.IntegerType(), False),
-])
-
+# Candidates travel Python->JVM as ONE compact CSV string per turn
+# ("idx,start,end,kindflag,conf,linestart,lineend;..."): Arrow's string
+# fast path is ~10x cheaper than converting a list of Python dicts to
+# array<struct>, and the JVM explode+split that unpacks it is whole-stage
+# codegen.  Measured: the nested-struct variant spent ~7s/task in
+# conversion at 310k turns; this one is I/O-shaped.
 DETECT_RESULT = T.StructType([
     T.StructField("norm_text", T.StringType(), False),
-    T.StructField("payload_kind", T.StringType(), False),
-    T.StructField("cands", T.ArrayType(CANDIDATE_STRUCT), False),
+    T.StructField("cands", T.StringType(), False),
 ])
 
 NORMALIZE_RESULT = T.StructType([
@@ -47,46 +41,39 @@ NORMALIZE_RESULT = T.StructType([
 def make_detect_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
     """parse + segment + detect in one kernel.
 
-    Emitting ``array<struct>`` from a scalar pandas UDF and `posexplode`-ing
-    (instead of `mapInPandas`) is deliberate: a projection preserves the
-    child's output partitioning attributes, so after the single upfront
-    ``repartition(conv_id, turn_idx)`` every downstream window/aggregate
-    runs with ZERO additional exchanges.  `mapInPandas` rewrites the whole
-    schema and forfeits that (SURVEY.md section 3.1).
+    Runs BEFORE the pipeline's single repartition (EvalPythonExec drops
+    partitioning info, so placement before the exchange costs nothing), and
+    only (norm_text, cands-CSV) strings cross the Python/JVM boundary --
+    the raw payload never ships again and Arrow stays on its string fast
+    path.  The JVM unpacks the CSV with codegen'd explode+split
+    (operators/extract.candidates).
     """
 
     @pandas_udf(DETECT_RESULT)
-    def detect(conv_id: pd.Series, turn_idx: pd.Series, text: pd.Series,
-               role: pd.Series, tool: pd.Series) -> pd.DataFrame:
+    def detect(text: pd.Series) -> pd.DataFrame:
         norm_texts: list[str] = []
-        kinds: list[str] = []
-        cands_col: list[list[dict]] = []
-        for cid, tix, txt, rl, tl in zip(conv_id, turn_idx, text, role, tool):
-            norm_text, payload_kind = spec.parse_payload(
-                txt if isinstance(txt, str) else None,
-                rl if isinstance(rl, str) else None,
-                tl if isinstance(tl, str) else None,
+        cands_col: list[str] = []
+        for txt in text:
+            norm_text, _payload_kind = spec.parse_payload(
+                txt if isinstance(txt, str) else None, None, None,
             )
-            cands: list[dict] = []
+            parts: list[str] = []
             for idx, b_start, b_end in spec.segment_offsets(len(norm_text), cfg):
-                bid = spec.block_id(cid, int(tix), idx)
                 for s, e, kind, conf in spec.detect_spans(norm_text, b_start, b_end, cfg):
                     g_start, g_end = b_start + s, b_start + e
                     ls, le = spec.line_bounds(norm_text, g_start, g_end)
-                    cands.append({
-                        "block_idx": idx,
-                        "block_id": bid,
-                        "start": g_start,
-                        "end": g_end,
-                        "kind": kind,
-                        "conf_milli": conf,
-                        "line_start": ls,
-                        "line_end": le,
-                    })
+                    kflag = "0" if kind == spec.KIND_CODE else "1"
+                    parts.append(f"{idx},{g_start},{g_end},{kflag},{conf},{ls},{le}")
+            if parts:
+                # sentinel entry (block -1, span [-1,-1)): sorts first, can
+                # never be suppressed or absorb a real cluster, and is the
+                # row that carries the canvas text through the slim
+                # windows; merge re-broadcasts and drops it (operators/
+                # extract.merge)
+                parts.insert(0, "-1,-1,-1,1,0,0,0")
             norm_texts.append(norm_text)
-            kinds.append(payload_kind)
-            cands_col.append(cands)
-        return pd.DataFrame({"norm_text": norm_texts, "payload_kind": kinds, "cands": cands_col})
+            cands_col.append(";".join(parts))
+        return pd.DataFrame({"norm_text": norm_texts, "cands": cands_col})
 
     return detect
 

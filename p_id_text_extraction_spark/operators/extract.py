@@ -24,34 +24,60 @@ def _cand_order():
     return [F.col("start").asc(), F.col("end").desc(), F.col("kind").asc(), F.col("block_idx").asc()]
 
 
-def candidates(turns: DataFrame, detect_udf, num_partitions: int | None = None) -> DataFrame:
-    """parse+segment+detect, exploded to one row per candidate span.
+def detect(turns: DataFrame, detect_udf, num_partitions: int | None = None) -> DataFrame:
+    """parse+segment+detect -> one row per turn: (keys, norm_text, cands CSV).
 
     Order matters for the shuffle count: Spark's EvalPythonExec does not
     propagate output partitioning, so the detect kernel runs BEFORE the
     pipeline's single repartition (on whatever partitioning the scan
     produced -- the kernel is per-row, placement-free), and only the
-    compact ``det`` struct (normalized canvas + candidate ints, no raw
-    payload) crosses the wire.  Everything downstream of the repartition is
-    JVM-side until the trailing normalizer, so the turn-key partitioning
-    survives through every window and aggregate: ONE exchange total.
-
-    `explode` drops zero-candidate turns, matching the reference's
-    empty-detection skip (run_pipeline.py:187).
+    compact (norm_text, cands-CSV) pair crosses the wire, text exactly
+    once.  Both downstream branches (slim candidates; canvas join-back)
+    read THIS exchange -- ReuseExchange dedups it, so the UDF runs once
+    and the pipeline keeps a single shuffle.
     """
     det = turns.select(
         "conv_id", "turn_idx",
-        detect_udf("conv_id", "turn_idx", "text", "role", "tool").alias("det"),
+        detect_udf("text").alias("det"),
     )
     if num_partitions:
         det = det.repartition(num_partitions, *TURN_KEYS)
     else:
         det = det.repartition(*TURN_KEYS)
-    return det.select(
+    return det.select("conv_id", "turn_idx", F.col("det.norm_text").alias("norm_text"),
+                      F.col("det.cands").alias("cands"))
+
+
+def candidates(det: DataFrame) -> DataFrame:
+    """Unpack the candidate CSV JVM-side: explode rows, split fields -- all
+    whole-stage codegen.  The canvas travels on ONLY the first candidate
+    row of each turn (posexplode pos==0), so the suppress/cluster window
+    sorts and the merge aggregate move slim int rows; `merge` re-broadcasts
+    it per turn with an unordered window max.  (Measured alternatives: the
+    canvas on EVERY row inflates sort/agg memory traffic ~3x; a slim-rows +
+    join-canvas-back plan cannot share the exchange -- column pruning
+    diverges the subtrees, ReuseExchange never fires, the detect kernel
+    runs twice.)  Empty cands -> empty array -> the turn drops, matching
+    the reference's empty-detection skip (run_pipeline.py:187).
+    """
+    exploded = det.select(
+        "conv_id", "turn_idx", "norm_text",
+        F.explode(
+            F.when(F.col("cands") == "", F.array().cast("array<string>"))
+             .otherwise(F.split("cands", ";"))
+        ).alias("cs"),
+    ).withColumn("p", F.split("cs", ","))
+    return exploded.select(
         "conv_id", "turn_idx",
-        F.col("det.norm_text").alias("norm_text"),
-        F.explode("det.cands").alias("c"),
-    ).select("conv_id", "turn_idx", "norm_text", "c.*")
+        F.when(F.col("p")[0] == "-1", F.col("norm_text")).alias("norm_text"),
+        F.col("p")[0].cast("int").alias("block_idx"),
+        F.col("p")[1].cast("int").alias("start"),
+        F.col("p")[2].cast("int").alias("end"),
+        F.when(F.col("p")[3] == "0", F.lit("code")).otherwise(F.lit("content")).alias("kind"),
+        F.col("p")[4].cast("int").alias("conf_milli"),
+        F.col("p")[5].cast("int").alias("line_start"),
+        F.col("p")[6].cast("int").alias("line_end"),
+    )
 
 
 def suppress(cands: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
@@ -85,7 +111,11 @@ def cluster(kept: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     """
     w = Window.partitionBy(*TURN_KEYS).orderBy(*_cand_order())
     prev_max = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    is_new = F.when(prev_max.isNull() | (F.col("start") > prev_max + cfg.proximity_gap), 1).otherwise(0)
+    # prev_max < 0 <=> only the canvas sentinel precedes: a real span always
+    # starts its own cluster so the sentinel's cluster stays singleton
+    is_new = F.when(
+        prev_max.isNull() | (prev_max < 0) | (F.col("start") > prev_max + cfg.proximity_gap), 1
+    ).otherwise(0)
     return kept.withColumn(
         "cluster_id",
         F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -98,16 +128,32 @@ def merge(clustered: DataFrame) -> DataFrame:
     map-side combine for free.  Order-free aggregates only (min/max/set),
     so results are bit-stable under any task ordering.
     """
-    return clustered.groupBy(*TURN_KEYS, "cluster_id").agg(
+    agged = clustered.groupBy(*TURN_KEYS, "cluster_id").agg(
         F.min("start").alias("m_start"),
         F.max("end").alias("m_end"),
         F.min("kind").alias("kind"),                      # 'code' < 'content': code wins
         F.min("conf_milli").alias("conf_milli"),
         F.min("line_start").alias("line_start"),
         F.max("line_end").alias("line_end"),
-        F.array_sort(F.collect_set("block_id")).alias("provenance"),
-        (F.size(F.collect_set("block_id")) > 1).alias("is_grouped"),
-        F.first("norm_text").alias("norm_text"),          # constant within a turn
+        # collect block INDEXES (ints: cheap object agg), mint the id
+        # strings only on the ~1 merged row per turn below
+        F.array_sort(F.collect_set("block_idx")).alias("block_idxs"),
+        # the canvas rode in on the sentinel row only; max(string) ignores
+        # nulls, then the unordered window below re-broadcasts it to the
+        # turn's real clusters and the sentinel cluster is dropped
+        F.max("norm_text").alias("norm_text"),
+    )
+    w = Window.partitionBy(*TURN_KEYS)
+    return (
+        agged
+        .withColumn("norm_text", F.max("norm_text").over(w))
+        .filter(F.col("m_start") >= 0)
+        .withColumn(
+            "provenance",
+            F.transform("block_idxs", lambda i: F.format_string("%s_%d_B%04d", "conv_id", "turn_idx", i)),
+        )
+        .withColumn("is_grouped", F.size("provenance") > 1)
+        .drop("block_idxs")
     )
 
 
@@ -131,25 +177,35 @@ def crop(merged: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
         # F6 empty-text drop, JVM-side: both normalizers return '' iff the
         # crop is all ASCII whitespace, so this predicate is byte-equivalent
         # to filtering on the normalizer output -- and it runs BEFORE the
-        # rank window, keeping span_rank identical to the oracle's
-        .filter(F.length(F.regexp_replace("cropped", r"[ \t\r\n\f\x0b]", "")) > 0)
+        # rank window, keeping span_rank identical to the oracle's.
+        # rlike short-circuits on the first non-whitespace char (vs a full
+        # regexp_replace pass over every crop).
+        .filter(F.col("cropped").rlike(r"[^ \t\r\n\f\x0b]"))
     )
 
 
-def normalize(cropped: DataFrame, normalize_udf) -> DataFrame:
+_WS = r" \t\r\n\f\x0b"
+
+
+def normalize(cropped: DataFrame, cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
     """Confidence-gated normalizer (text_recognition.py:111-131 analogue).
 
-    Runs LAST in the plan (after the rank window): EvalPythonExec forfeits
-    output partitioning, so keeping the kernel downstream of every
-    window/aggregate preserves the pipeline's single-exchange shape.  The
+    Pure JVM: the spec normalizers are exact ASCII-whitespace regex
+    rewrites -- primary = strip ends, fallback = strip + collapse runs to
+    one space ('  '.join(split()) equivalence) -- so whole-stage codegen
+    handles them and the expensive path keeps exactly ONE Python kernel
+    (detect).  `functions.udfs.make_normalize_udf` remains the drop-in
+    extension point for heavier (model-backed) normalizers.  The
     empty-text drop (F6) already happened JVM-side in `crop`.
     """
+    trimmed = F.regexp_replace("cropped", f"^[{_WS}]+|[{_WS}]+$", "")
+    collapsed = F.regexp_replace(trimmed, f"[{_WS}]+", " ")
+    is_primary = F.col("conf_milli") >= cfg.conf_threshold_milli
     return (
         cropped
-        .withColumn("nz", normalize_udf("cropped", "conf_milli"))
-        .withColumn("text", F.col("nz.text"))
-        .withColumn("method", F.col("nz.method"))
-        .drop("nz", "cropped")
+        .withColumn("text", F.when(is_primary, trimmed).otherwise(collapsed))
+        .withColumn("method", F.when(is_primary, F.lit("primary")).otherwise(F.lit("fallback")))
+        .drop("cropped")
     )
 
 

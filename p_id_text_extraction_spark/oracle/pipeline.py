@@ -91,7 +91,10 @@ def merge(clustered: list[dict]) -> list[dict]:
     merged: list[dict] = []
     for cid in sorted(groups):
         ms = groups[cid]
-        block_ids = sorted({m["block_id"] for m in ms})
+        # numeric sort by block index (not lexicographic id sort): keeps
+        # provenance order stable past 9999 blocks per turn
+        block_ids = sorted({m["block_id"] for m in ms},
+                           key=lambda b: int(b.rsplit("_B", 1)[1]))
         merged.append({
             "start": min(m["start"] for m in ms),
             "end": max(m["end"] for m in ms),

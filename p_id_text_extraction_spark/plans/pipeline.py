@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from p_id_text_extraction_spark.config import DEFAULT_CONFIG, ExtractConfig
-from p_id_text_extraction_spark.functions.udfs import make_detect_udf, make_normalize_udf
+from p_id_text_extraction_spark.functions.udfs import make_detect_udf
 from p_id_text_extraction_spark.operators import extract as ops
 
 
@@ -35,9 +35,9 @@ def extract_pipeline(
     """
     cfg.validate()
     detect_udf = make_detect_udf(cfg)
-    normalize_udf = make_normalize_udf(cfg)
 
-    cands = ops.candidates(turns, detect_udf, num_partitions)
+    det = ops.detect(turns, detect_udf, num_partitions)
+    cands = ops.candidates(det)
     if observation is not None:
         # counters ride the candidate scan -- no extra job
         cands = cands.observe(
@@ -47,10 +47,7 @@ def extract_pipeline(
         )
     kept = ops.suppress(cands, cfg)
     merged = ops.merge(ops.cluster(kept, cfg))
-    # normalize (the only other Python kernel) runs AFTER the rank window --
-    # EvalPythonExec drops partitioning info, so keeping it last preserves
-    # the single-exchange plan shape
-    final = ops.normalize(ops.rank(ops.coord(ops.crop(merged, cfg), cfg)), normalize_udf)
+    final = ops.normalize(ops.rank(ops.coord(ops.crop(merged, cfg), cfg)), cfg)
     return final.select(*ops.OUTPUT_COLUMNS)
 
 

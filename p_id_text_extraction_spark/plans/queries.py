@@ -579,6 +579,49 @@ _SIM_TOPK_SQL = """
 """
 
 
+def q_validate_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 dimension-compat check: recorded n_chars vs actual text length."""
+    from p_id_text_extraction_spark.operators.validate import dimension_check
+    return dimension_check(_t(spark, sf_dir, "documents"))
+
+
+_VALIDATE_DIM_SQL = """
+    SELECT doc_id,
+           n_chars AS expected_chars,
+           CAST(length(text) AS INT) AS actual_chars,
+           CAST(CASE WHEN n_chars = 0 THEN (CASE WHEN length(text) = 0 THEN 0 ELSE 1000 END)
+                     ELSE floor(100 * abs(length(text) - n_chars) / n_chars) END AS INT) AS diff_pct,
+           (CASE WHEN n_chars = 0 THEN (CASE WHEN length(text) = 0 THEN 0 ELSE 1000 END)
+                 ELSE floor(100 * abs(length(text) - n_chars) / n_chars) END) <= 5 AS compatible
+    FROM documents
+"""
+
+
+def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 validation summary: pass counts over the dimension check."""
+    from p_id_text_extraction_spark.operators.validate import dimension_check, validation_summary
+    return validation_summary(dimension_check(_t(spark, sf_dir, "documents")))
+
+
+_VALIDATE_SUMMARY_SQL = f"""
+    SELECT CAST(SUM(CASE WHEN compatible THEN 1 ELSE 0 END) AS BIGINT) AS compatible_count,
+           COUNT(*) AS total_count
+    FROM ({_VALIDATE_DIM_SQL})
+"""
+
+
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 distribution stats: Counter(component_sizes) analogue over the
+    relational pipeline core's merged clusters."""
+    core = q_extract_pipeline_core(spark, sf_dir)
+    return core.groupBy("n_members").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+_CLUSTER_HIST_SQL = f"""
+    SELECT n_members, COUNT(*) AS n_clusters FROM ({_PIPELINE_CORE_SQL}) GROUP BY n_members
+"""
+
+
 # rows-only (non-SQL-expressible: xxhash64 sketches, LSH planes, pandas UDFs)
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,6 +664,9 @@ QUERIES = {
     "provenance_sets": q_provenance_sets,
     "events_hourly_rollup": q_events_hourly_rollup,
     "interval_clusters": q_interval_clusters,
+    "validate_dimensions": q_validate_dimensions,
+    "validation_summary": q_validation_summary,
+    "cluster_size_histogram": q_cluster_size_histogram,
     "doc_token_count": q_doc_token_count,
     "doc_quality_score": q_doc_quality_score,
     "doc_lang_id": q_doc_lang_id,
@@ -646,6 +692,9 @@ ORACLES = {
     "provenance_sets": _PROVENANCE_SQL,
     "events_hourly_rollup": _HOURLY_SQL,
     "interval_clusters": _INTERVAL_CLUSTERS_SQL,
+    "validate_dimensions": _VALIDATE_DIM_SQL,
+    "validation_summary": _VALIDATE_SUMMARY_SQL,
+    "cluster_size_histogram": _CLUSTER_HIST_SQL,
     "doc_token_count": _TOKEN_COUNT_SQL,
     "doc_quality_score": _QUALITY_SQL,
     "doc_lang_id": _LANG_ID_SQL,

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from p_id_text_extraction_spark.functions.udfs import make_detect_udf
-from p_id_text_extraction_spark.operators.extract import candidates
+from p_id_text_extraction_spark.operators.extract import candidates, detect
 from p_id_text_extraction_spark.oracle.pipeline import extract_table
 from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
 from p_id_text_extraction_spark.sources.transcripts import gen_turn, gen_turns, transcripts_df
@@ -32,7 +32,7 @@ def skew_turns():
 
 def test_hot_conversation_spreads_across_partitions(spark, skew_turns):
     df = transcripts_df(spark, skew_turns)
-    cand = candidates(df, make_detect_udf(), num_partitions=8)
+    cand = candidates(detect(df, make_detect_udf(), num_partitions=8))
     per_part = (
         cand.filter(F.col("conv_id") == "conv-hot000")
         .withColumn("pid", F.spark_partition_id())
@@ -62,7 +62,7 @@ def test_mega_turn_bounded_blocks(spark, skew_turns):
     bounded however large the turn (sahi_slicer W1 analogue)."""
     mega = [t for t in skew_turns if t["conv_id"] == "conv-hot000" and t["turn_idx"] == 0]
     df = transcripts_df(spark, mega)
-    cand = candidates(df, make_detect_udf(), num_partitions=2)
-    n_blocks = cand.select(F.countDistinct("block_id")).collect()[0][0]
+    cand = candidates(detect(df, make_detect_udf(), num_partitions=2))
+    n_blocks = cand.select(F.countDistinct("block_idx")).collect()[0][0]
     text_len = len(mega[0]["text"])
     assert n_blocks >= text_len // 230

@@ -140,7 +140,7 @@ def brute_force_suppress(cands, thresh_milli=900):
 
 
 def _mk(start, end, idx=0, kind="content", conf=990):
-    return {"start": start, "end": end, "block_idx": idx, "block_id": f"b{idx:04d}",
+    return {"start": start, "end": end, "block_idx": idx, "block_id": f"c_0_B{idx:04d}",
             "kind": kind, "conf_milli": conf, "line_start": start, "line_end": end}
 
 
@@ -184,7 +184,7 @@ def test_merge_provenance_sorted_set():
     assert m[0]["start"] == 0 and m[0]["end"] == 20
     assert m[0]["kind"] == "code"           # lexicographic min: code wins
     assert m[0]["conf_milli"] == 800        # min confidence
-    assert m[0]["provenance"] == ["b0000", "b0001"]
+    assert m[0]["provenance"] == ["c_0_B0000", "c_0_B0001"]
     assert m[0]["is_grouped"] is True
 
 
