@@ -39,11 +39,13 @@ def extract_pipeline(
     det = ops.detect(turns, detect_udf, num_partitions)
     cands = ops.candidates(det)
     if observation is not None:
-        # counters ride the candidate scan -- no extra job
+        # counters ride the candidate scan -- no extra job.  DISTINCT is
+        # not allowed in observed metrics; the canvas sentinel (exactly one
+        # per non-empty turn) doubles as the turn counter.
         cands = cands.observe(
             observation,
-            F.count_distinct(F.col("conv_id"), F.col("turn_idx")).alias("turns_with_candidates"),
-            F.count(F.lit(1)).alias("candidates_in"),
+            F.sum(F.when(F.col("block_idx") == -1, 1).otherwise(0)).alias("turns_with_candidates"),
+            F.sum(F.when(F.col("block_idx") >= 0, 1).otherwise(0)).alias("candidates_in"),
         )
     kept = ops.suppress(cands, cfg)
     merged = ops.merge(ops.cluster(kept, cfg))

@@ -579,6 +579,37 @@ _SIM_TOPK_SQL = """
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 general range/interval join: even-event intervals x odd-event
+    intervals per user, bucketed-grid equi-join + exact recheck."""
+    from p_id_text_extraction_spark.operators.interval_join import interval_join
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("start"),
+        (F.floor(F.col("value") * 100).cast("long") + F.col("event_id") % 97 + 5).alias("end"),
+    )
+    a = iv.filter(F.col("event_id") % 2 == 0)
+    b = iv.filter(F.col("event_id") % 2 == 1)
+    out = interval_join(a, b, ["user_id"], gap=0, bucket_size=256)
+    return out.select("user_id", F.col("event_id_a"), F.col("event_id_b"))
+
+
+_INTERVAL_JOIN_SQL = """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100) AS BIGINT) AS s,
+               CAST(floor(value * 100) AS BIGINT) + event_id % 97 + 5 AS e
+        FROM events
+    )
+    SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id
+     AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+     AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 def q_validate_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 dimension-compat check: recorded n_chars vs actual text length."""
     from p_id_text_extraction_spark.operators.validate import dimension_check
@@ -664,6 +695,7 @@ QUERIES = {
     "provenance_sets": q_provenance_sets,
     "events_hourly_rollup": q_events_hourly_rollup,
     "interval_clusters": q_interval_clusters,
+    "interval_join_ranges": q_interval_join,
     "validate_dimensions": q_validate_dimensions,
     "validation_summary": q_validation_summary,
     "cluster_size_histogram": q_cluster_size_histogram,
@@ -692,6 +724,7 @@ ORACLES = {
     "provenance_sets": _PROVENANCE_SQL,
     "events_hourly_rollup": _HOURLY_SQL,
     "interval_clusters": _INTERVAL_CLUSTERS_SQL,
+    "interval_join_ranges": _INTERVAL_JOIN_SQL,
     "validate_dimensions": _VALIDATE_DIM_SQL,
     "validation_summary": _VALIDATE_SUMMARY_SQL,
     "cluster_size_histogram": _CLUSTER_HIST_SQL,
