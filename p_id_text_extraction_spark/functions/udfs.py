@@ -53,7 +53,7 @@ def make_detect_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
     def detect(text: pd.Series) -> pd.DataFrame:
         norm_texts: list[str] = []
         cands_col: list[str] = []
-        for txt in text:
+        for txt in text.tolist():  # plain-list iteration beats Series iteration
             norm_text, _payload_kind = spec.parse_payload(
                 txt if isinstance(txt, str) else None, None, None,
             )

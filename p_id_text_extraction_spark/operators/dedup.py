@@ -40,22 +40,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingle sets, one row per distinct (doc_id, shingle)."""
+def gram_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram sets as one array per doc: (doc_id, grams)."""
     toks = docs.select("doc_id", F.split(_norm_text(), " ").alias("toks"))
     # n-gram via transform over 1-based start indices; guard short docs --
     # Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty
-    grams = toks.select(
+    return toks.select(
         "doc_id",
-        F.when(
-            F.size("toks") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+        F.array_distinct(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("grams"),
     )
-    return grams.select("doc_id", F.explode(F.array_distinct("grams")).alias("shingle"))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingle sets, one row per distinct (doc_id, shingle)."""
+    return gram_arrays(docs, n).select("doc_id", F.explode("grams").alias("shingle"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_milli: int = 100,
@@ -67,8 +73,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_milli: int = 10
     shingles per pair, join per-doc set sizes, Jaccard in milli-units.
     Emits (doc_a, doc_b, jaccard_milli) with doc_a < doc_b.
     """
-    sh = shingles(docs, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    grams = gram_arrays(docs, n)
+    sh = grams.select("doc_id", F.explode("grams").alias("shingle"))
+    # set sizes from the pre-explode arrays: no second explode+groupBy
+    # over every shingle row
+    sizes = grams.select("doc_id", F.size("grams").alias("set_size")).filter(F.col("set_size") > 0)
 
     # frequency cap: a shingle appearing in >max_posting docs is a stopword
     # shingle -- it produces O(k^2) pairs and no discriminative signal
