@@ -75,7 +75,7 @@ def extract_run(cores: int, path: str) -> None:
     # (shared host), and the minimum approximates uncontended capability.
     extract_pipeline(turns).write.format("noop").mode("overwrite").save()
     walls = []
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.monotonic()
         extract_pipeline(turns).write.format("noop").mode("overwrite").save()
         walls.append(time.monotonic() - t0)

@@ -555,6 +555,24 @@ _NGRAM_JACCARD_SQL = """
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.30 on the synthetic
+    random vectors; production threshold would be ~0.95)."""
+    return dedup.embedding_cosine_dups(_t(spark, sf_dir, "embeddings"), min_cos_milli=300)
+
+
+_EMB_COS_DUP_SQL = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(floor(1000 * list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS INT) AS cos_milli
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(floor(1000 * list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS INT) >= 300
+"""
+
+
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"))
 
@@ -705,6 +723,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_cosine": q_sim_topk_cosine,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -734,5 +753,6 @@ ORACLES = {
     "doc_fingerprint": _FINGERPRINT_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": _EMB_COS_DUP_SQL,
     "sim_topk_cosine": _SIM_TOPK_SQL,
 }
