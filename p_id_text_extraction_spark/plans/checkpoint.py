@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from p_id_text_extraction_spark.config import DEFAULT_CONFIG, ExtractConfig
 from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
 
-MANIFEST_COLUMNS = ["bucket_id", "job_fingerprint", "turns_in", "spans_out", "completed_ts"]
+MANIFEST_COLUMNS = ["bucket_id", "job_fingerprint", "turns_in", "spans_out",
+                    "classifier_drop_rate", "completed_ts"]
 
 
 def job_fingerprint(cfg: ExtractConfig) -> str:
@@ -75,7 +76,9 @@ def run_with_resume(
 
     # re-derive the bucket on the output side: it is a deterministic
     # function of conv_id, no need to thread it through the pipeline
-    spans = extract_pipeline(todo.drop("bucket_id"), cfg).withColumn(
+    from pyspark.sql import Observation
+    obs = Observation("lineage")
+    spans = extract_pipeline(todo.drop("bucket_id"), cfg, observation=obs).withColumn(
         "bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
     )
 
@@ -88,7 +91,20 @@ def run_with_resume(
      .parquet(output_dir))
 
     # lineage counters per completed bucket (FIXTURES.md section 3); the
-    # spans side reads back the just-written columnar files (metadata-cheap)
+    # spans side reads back the just-written columnar files (metadata-cheap).
+    # classifier_drop_rate (candidates dropped by suppress/merge vs
+    # candidates detected -- the boxes-before/after ratio of
+    # grouping_logic.py:978-983) comes from the observe() counters; it is a
+    # run-level rate stamped on each bucket row of this run.
+    try:
+        m = dict(obs.get)
+    except Exception:  # noqa: BLE001 - zero-task plans never emit the observed row
+        m = {}
+    candidates_in = int(m.get("candidates_in") or 0)
+    spans_total = int(spark.read.parquet(output_dir).join(done, "bucket_id", "left_anti").count()) \
+        if candidates_in else 0
+    drop_rate = (candidates_in - spans_total) / candidates_in if candidates_in else 0.0
+
     turns_in = todo.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("turns_in"))
     spans_out = (
         spark.read.parquet(output_dir)
@@ -102,6 +118,7 @@ def run_with_resume(
             F.lit(fingerprint).alias("job_fingerprint"),
             "turns_in",
             F.coalesce("spans_out", F.lit(0)).alias("spans_out"),
+            F.lit(drop_rate).alias("classifier_drop_rate"),
             F.current_timestamp().alias("completed_ts"),
         )
     )

@@ -49,6 +49,8 @@ def test_manifest_lineage_counters(spark, turns_df, tmp_path):
     assert sum(r.spans_out for r in rows) == spark.read.parquet(out).count()
     for r in rows:
         assert r.spans_out >= 0 and r.turns_in > 0
+        # boxes-before/after ratio analogue (grouping_logic.py:978-983)
+        assert 0.0 <= r.classifier_drop_rate < 1.0
 
 
 def test_fingerprint_isolation(spark, turns_df, tmp_path):
