@@ -191,22 +191,22 @@ def line_features(line: str) -> tuple[int, int, int, bool, bool]:
     ln = len(stripped)
     if ln == 0:
         return 0, 0, 0, False, True
-    # one sub() pass each: survivors of removing non-(word|space) chars
+    # one sub() pass: survivors of removing non-(word|space) chars
     alnum = len(_NON_ALNUMSP_RE.sub("", stripped))
     alnum_milli = (1000 * alnum) // ln
-    seps = ln - len(_SEP_RE.sub("", stripped))
-    sep_milli = (1000 * seps) // ln
     is_code = line.startswith(("    ", "\t", "```"))
+    # boiler disjunction, cheapest-first with short-circuit (the separator
+    # regex pass only runs when the density check alone doesn't decide);
+    # link-farm / footer heuristics are the link-density analogue of the
+    # reference's CRAFT link-score map (text_detection.py:72-99)
     is_boiler = (
         alnum_milli < DEFAULT_CONFIG.min_alnum_density_milli
-        or sep_milli > DEFAULT_CONFIG.max_sep_density_milli
         or "http://" in stripped or "https://" in stripped
-        # link-farm / footer heuristics: pipe- or dot-separated short link
-        # texts and copyright lines (the link-density analogue of the
-        # reference's CRAFT link-score map, text_detection.py:72-99)
         or stripped.count("|") >= 2
         or stripped.count("·") >= 2
         or "©" in stripped
+        or (1000 * (ln - len(_SEP_RE.sub("", stripped)))) // ln
+           > DEFAULT_CONFIG.max_sep_density_milli
     )
     # code lines are low-density but are content, not boilerplate
     if is_code:
