@@ -84,12 +84,22 @@ def extract_run(cores: int, path: str) -> None:
 
 
 def run_scaling(path: str) -> dict:
+    """Each level runs CPU-PINNED to exactly its core budget (taskset):
+    an unpinned local[8] on a 32-core box lets its Python workers overflow
+    onto the 24 idle cores -- free capacity a real 8-core executor never
+    has -- which understates scaling.  Pinning makes every level a faithful
+    fixed-size-executor simulation."""
+    import shutil
     lo, hi = max(1, CPUS // 4), CPUS
     levels = sorted({lo, hi, max(1, lo // 4)})  # secondary low point shows box saturation
+    taskset = shutil.which("taskset")
     out = {}
     for cores in levels:
+        cmd = [sys.executable, os.path.abspath(__file__), "--extract-run", str(cores), path]
+        if taskset:
+            cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--extract-run", str(cores), path],
+            cmd,
             capture_output=True, text=True, timeout=3000,
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -122,9 +132,11 @@ def write_baseline_md(scaling: dict, queries: dict, sf: str) -> None:
         "",
         f"Bench table: {scaling['bench_turns']} turns (deterministic distributed",
         "generator, seed-free per-conv md5 derivation), identical input at every",
-        "parallelism level; separate subprocess + fresh JVM per level; full",
-        "warm-up pass then best-of-3 timed runs (this sandbox VM shows 2x+",
-        "run-to-run noise from the shared host).",
+        "parallelism level; separate subprocess + fresh JVM per level, CPU-PINNED",
+        "(taskset) to exactly its core budget so each level is a faithful",
+        "fixed-size-executor simulation (unpinned, a low level's Python workers",
+        "overflow onto idle cores a real executor never has); full warm-up pass",
+        "then best-of-4 timed runs (this shared-host VM shows 2x+ run noise).",
         "",
         "| parallelism | best wall s | turns/sec | all walls |",
         "| --- | --- | --- | --- |",
@@ -141,14 +153,14 @@ def write_baseline_md(scaling: dict, queries: dict, sf: str) -> None:
         f" {sec['efficiency']}**",
         "",
     ] if sec.get("efficiency") else []) + [
-        "Context for the N->4N number: local[32] saturates every hardware",
+        "Context for the N->4N number: the 4N level saturates every hardware",
         "thread of this 32-core VM with 32 JVM task threads PLUS 32 Python",
         "workers; a pure-Python multiprocessing control (zero coordination,",
-        "zero shuffle) measures only ~0.69 per-process efficiency at 32",
+        "zero shuffle) measures only ~0.69 per-process efficiency going 8 -> 32",
         "saturated processes on this box, so ~0.7 is the hardware ceiling for",
-        "any CPU-bound job here.  The lower, unsaturated pair (secondary",
-        "above) isolates the engine's own scaling behaviour; on a real",
-        "multi-executor cluster each executor owns its cores and the",
+        "any CPU-bound job at full saturation here.  The secondary (pinned,",
+        "unsaturated) pair isolates the engine's own scaling behaviour; on a",
+        "real multi-executor cluster each executor owns its cores and the",
         "partition-parallel design has no cross-executor coordination beyond",
         "the single exchange.",
         "",
