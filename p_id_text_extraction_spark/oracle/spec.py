@@ -39,6 +39,10 @@ _BLOCK_SPLIT_RE = re.compile(
     re.IGNORECASE,
 )
 _ANY_TAG_RE = re.compile(r"<[^>]+>")
+# script/style payloads and comments are never content -- removed wholesale
+# before block splitting (a browser wouldn't render them either)
+_DROP_ELEMENT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
 _URL_RE = re.compile(r"https?://")
 _MD_MARKER_RE = re.compile(r"(?m)^(?:#{1,6} |- |\* |\d+\. |```)")
@@ -112,6 +116,8 @@ def _parse_html(text: str) -> str:
     Empty blocks vanish.  Blocks join with '\\n' so line-level detection
     (detect_spans) sees one block per line.
     """
+    text = _DROP_ELEMENT_RE.sub("", text)
+    text = _HTML_COMMENT_RE.sub("", text)
     blocks = _BLOCK_SPLIT_RE.split(text)
     out: list[str] = []
     for raw in blocks:

@@ -84,6 +84,14 @@ def test_parse_html_blocks_and_entities():
     assert norm == "Alpha & beta\nGamma"
 
 
+def test_parse_html_drops_script_style_comments():
+    html = ('<div><p>Visible text</p><script type="text/javascript">var x = "hidden";'
+            '</script><style>.a { color: red }</style><!-- secret --><p>More text</p></div>')
+    norm, kind = spec.parse_payload(html, None, None)
+    assert kind == "html"
+    assert norm == "Visible text\nMore text"
+
+
 def test_parse_markdown_detected():
     norm, kind = spec.parse_payload("# Title\nbody text", "assistant", None)
     assert kind == "markdown"
