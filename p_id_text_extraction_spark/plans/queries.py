@@ -686,7 +686,14 @@ def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing: documents bytes stand in for media blobs."""
+    """Binary-payload plumbing: documents bytes stand in for media blobs.
+
+    The mapInPandas feature kernel runs for real; the float feature vector
+    is re-serialized to its source md5 bytes (exactly invertible: each
+    float32 is (byte-127.5)/127.5, so round(f*127.5+127.5) recovers the
+    byte) so the output is a flat hashable CSV the driver can value-check
+    against a DuckDB twin -- the recognize-stage 'records are always
+    checkable' rule (text_recognition.py:175-189)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -697,7 +704,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 60000).cast("int").alias("duration_ms"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    return multimodal.extract_features(media, fake=True)
+    feats = multimodal.extract_features(media, fake=True)
+    byte_of = lambda x: F.round(x.cast("double") * 127.5 + 127.5).cast("int").cast("string")  # noqa: E731
+    return feats.select(
+        "media_id", "media_type",
+        F.array_join(F.transform("feature", byte_of), ",").alias("feature_csv"),
+    )
+
+
+_MULTIMODAL_SQL = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           array_to_string(
+               list_transform(generate_series(0, 15),
+                              i -> CAST(CAST(('0x' || substring(md5(text), 2 * i + 1, 2)) AS BIGINT) AS VARCHAR)),
+               ',') AS feature_csv
+    FROM documents
+"""
 
 
 QUERIES = {
@@ -755,4 +780,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": _EMB_COS_DUP_SQL,
     "sim_topk_cosine": _SIM_TOPK_SQL,
+    "multimodal_features": _MULTIMODAL_SQL,
 }
