@@ -6,9 +6,21 @@ is an input *bucket*: ``bucket_id = pmod(xxhash64(conv_id), n_buckets)``
 (deterministic across runs -- xxhash64 is seed-stable).  A manifest table
 records each completed (bucket_id, job_fingerprint) with lineage counters
 (FIXTURES.md section 3); resume left-anti-joins the input against it and
-re-processes only missing buckets.  Output is written with dynamic
-partition overwrite keyed by bucket_id, so a bucket that died mid-write is
-fully rewritten on retry -- idempotent by construction.
+re-processes only missing buckets.
+
+Idempotence and isolation rules:
+  * the fingerprint covers config AND n_buckets -- a manifest row can never
+    satisfy a numerically-equal bucket id from a different bucketing;
+  * output is partitioned by (job_fingerprint, bucket_id), so runs with
+    different configs never share partition directories and a config change
+    can never surface another config's stale rows;
+  * every todo bucket's partition directory is explicitly cleared before
+    the write -- a bucket that died mid-write is fully rewritten on retry,
+    and a todo bucket that yields ZERO spans still ends up empty instead of
+    retaining rows from an aborted earlier attempt;
+  * counters come from the in-plan DataFrame (observe + a groupBy on the
+    cached spans), never from re-reading the output directory -- at 100 TB
+    a read-back is two extra full passes over everything ever written.
 
 Production target is two Iceberg tables; the sandbox has no Iceberg jars,
 so both land as partitioned parquet with identical semantics.
@@ -17,6 +29,7 @@ so both land as partitioned parquet with identical semantics.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,13 +41,18 @@ from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
 MANIFEST_COLUMNS = ["bucket_id", "job_fingerprint", "turns_in", "spans_out",
                     "classifier_drop_rate", "completed_ts"]
 
+MANIFEST_SCHEMA = ("bucket_id int, job_fingerprint string, turns_in long, "
+                   "spans_out long, classifier_drop_rate double, completed_ts timestamp")
 
-def job_fingerprint(cfg: ExtractConfig) -> str:
-    """Config-derived identity: a manifest row only skips work for the
-    exact same parameters (config singleton analogue, config_manager.py:9-109)."""
+
+def job_fingerprint(cfg: ExtractConfig, n_buckets: int) -> str:
+    """Run-identity hash: a manifest row only skips work for the exact same
+    parameters (config singleton analogue, config_manager.py:9-109).
+    ``n_buckets`` is part of the identity -- bucket id 3 of a 16-bucketing
+    and bucket id 3 of a 256-bucketing cover different conversations."""
     import hashlib
     import json
-    blob = json.dumps(asdict(cfg), sort_keys=True)
+    blob = json.dumps({**asdict(cfg), "n_buckets": n_buckets}, sort_keys=True)
     return hashlib.md5(blob.encode()).hexdigest()[:16]
 
 
@@ -52,6 +70,16 @@ def completed_buckets(spark: SparkSession, manifest_dir: str, fingerprint: str) 
     return m.filter(F.col("job_fingerprint") == fingerprint).select("bucket_id").distinct()
 
 
+def _clear_todo_partitions(output_dir: str, fingerprint: str, todo_ids: list[int]) -> None:
+    """Remove the partition dirs this run is about to (re)write.  Covers the
+    two dynamic-overwrite blind spots: a bucket that died mid-write, and a
+    todo bucket that produces zero spans this time (dynamic overwrite would
+    rewrite nothing, silently keeping an aborted attempt's rows)."""
+    base = os.path.join(output_dir, f"job_fingerprint={fingerprint}")
+    for b in todo_ids:
+        shutil.rmtree(os.path.join(base, f"bucket_id={b}"), ignore_errors=True)
+
+
 def run_with_resume(
     spark: SparkSession,
     turns: DataFrame,
@@ -60,71 +88,76 @@ def run_with_resume(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     n_buckets: int = 16,
     bucket_filter: list[int] | None = None,
+    write_partitions: int | None = None,
 ) -> dict:
     """Run the pipeline over not-yet-completed buckets; append manifest rows.
 
     ``bucket_filter`` (tests only) simulates a run killed after finishing a
-    subset of buckets.  Returns the counter dict for the run.
+    subset of buckets.  ``write_partitions`` sizes the final shuffle before
+    the write (default: session shuffle partitions) -- the write fans out
+    over (bucket_id, conv_id), NOT just bucket_id, so output parallelism
+    tracks the cluster instead of collapsing to n_buckets tasks.
+    Returns the counter dict for the run.
     """
-    fingerprint = job_fingerprint(cfg)
+    fingerprint = job_fingerprint(cfg, n_buckets)
     bucketed = with_bucket(turns, n_buckets)
 
     done = completed_buckets(spark, manifest_dir, fingerprint)
-    todo = bucketed.join(done, "bucket_id", "left_anti")    # J7: resume anti-join
+    done_ids = {r.bucket_id for r in done.collect()}           # <= n_buckets rows
+    todo = bucketed.join(done, "bucket_id", "left_anti")       # J7: resume anti-join
     if bucket_filter is not None:
         todo = todo.filter(F.col("bucket_id").isin(bucket_filter))
+    todo_ids = [b for b in range(n_buckets)
+                if b not in done_ids and (bucket_filter is None or b in bucket_filter)]
 
     # re-derive the bucket on the output side: it is a deterministic
     # function of conv_id, no need to thread it through the pipeline
     from pyspark.sql import Observation
     obs = Observation("lineage")
-    spans = extract_pipeline(todo.drop("bucket_id"), cfg, observation=obs).withColumn(
-        "bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+    n_write = write_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spans = (
+        extract_pipeline(todo.drop("bucket_id"), cfg, observation=obs)
+        .withColumn("bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+        .withColumn("job_fingerprint", F.lit(fingerprint))
+        .repartition(n_write, "bucket_id", "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx", "span_rank")
+        .persist()
     )
+    try:
+        _clear_todo_partitions(output_dir, fingerprint, todo_ids)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (spans.write.mode("overwrite")
+         .partitionBy("job_fingerprint", "bucket_id")
+         .parquet(output_dir))
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (spans
-     .repartition("bucket_id")
-     .sortWithinPartitions("conv_id", "turn_idx", "span_rank")
-     .write.mode("overwrite")
-     .partitionBy("bucket_id")
-     .parquet(output_dir))
-
-    # lineage counters per completed bucket (FIXTURES.md section 3); the
-    # spans side reads back the just-written columnar files (metadata-cheap).
-    # classifier_drop_rate (candidates dropped by suppress/merge vs
-    # candidates detected -- the boxes-before/after ratio of
-    # grouping_logic.py:978-983) comes from the observe() counters; it is a
-    # run-level rate stamped on each bucket row of this run.
+        # lineage counters per completed bucket (FIXTURES.md section 3), all
+        # from THIS run's plan: observe() rode the candidate scan, and the
+        # per-bucket span counts aggregate the cached spans -- no read-back.
+        # classifier_drop_rate (candidates dropped by suppress/merge vs
+        # candidates detected -- the boxes-before/after ratio of
+        # grouping_logic.py:978-983) is a run-level rate stamped on each
+        # bucket row of this run.
+        per_bucket = {r.bucket_id: r.cnt
+                      for r in spans.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    finally:
+        spans.unpersist()
     try:
         m = dict(obs.get)
     except Exception:  # noqa: BLE001 - zero-task plans never emit the observed row
         m = {}
     candidates_in = int(m.get("candidates_in") or 0)
-    spans_total = int(spark.read.parquet(output_dir).join(done, "bucket_id", "left_anti").count()) \
-        if candidates_in else 0
+    spans_total = sum(per_bucket.values())
     drop_rate = (candidates_in - spans_total) / candidates_in if candidates_in else 0.0
 
-    turns_in = todo.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("turns_in"))
-    spans_out = (
-        spark.read.parquet(output_dir)
-        .join(done, "bucket_id", "left_anti")
-        .groupBy("bucket_id").agg(F.count(F.lit(1)).alias("spans_out"))
-    )
-    manifest = (
-        turns_in.join(spans_out, "bucket_id", "left")
-        .select(
-            "bucket_id",
-            F.lit(fingerprint).alias("job_fingerprint"),
-            "turns_in",
-            F.coalesce("spans_out", F.lit(0)).alias("spans_out"),
-            F.lit(drop_rate).alias("classifier_drop_rate"),
-            F.current_timestamp().alias("completed_ts"),
-        )
-    )
-    if bucket_filter is not None:
-        manifest = manifest.filter(F.col("bucket_id").isin(bucket_filter))
-    manifest.write.mode("append").parquet(manifest_dir)
+    turns_in = {r.bucket_id: r.cnt
+                for r in todo.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    from datetime import datetime, timezone
+    now = datetime.now(timezone.utc)
+    manifest_rows = [
+        (b, fingerprint, int(turns_in[b]), int(per_bucket.get(b, 0)), float(drop_rate), now)
+        for b in sorted(turns_in)
+    ]
+    if manifest_rows:
+        spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode("append").parquet(manifest_dir)
 
-    rows = manifest.count()
-    return {"fingerprint": fingerprint, "buckets_completed": rows}
+    return {"fingerprint": fingerprint, "buckets_completed": len(manifest_rows)}

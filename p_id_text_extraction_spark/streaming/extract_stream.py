@@ -28,13 +28,21 @@ def extract_stream(
     """Run the extraction pipeline over a streaming transcripts source.
 
     ``stream`` must be a readStream DataFrame with the transcript schema.
-    Each micro-batch runs the identical batch plan and appends to
-    ``output_dir`` as parquet.
+    Each micro-batch runs the identical batch plan and lands in a
+    ``batch_id=N`` partition with dynamic partition overwrite, mirroring
+    plans/checkpoint.py's bucket protocol: foreachBatch is at-least-once
+    (a micro-batch retried after a mid-write failure re-executes), so the
+    write must be idempotent PER BATCH -- a retry fully rewrites its own
+    partition instead of appending a second copy of the spans.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (extract_pipeline(batch_df, cfg)
-         .write.mode("append").parquet(output_dir))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("batch_id").parquet(output_dir))
 
     writer = stream.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

@@ -19,7 +19,8 @@ def turns_df(spark):
 
 
 def _rows(spark, path):
-    return [tuple(r) for r in spark.read.parquet(path).drop("bucket_id").orderBy(*KEY).collect()]
+    return [tuple(r) for r in spark.read.parquet(path)
+            .drop("bucket_id", "job_fingerprint").orderBy(*KEY).collect()]
 
 
 def test_kill_and_resume_identical(spark, turns_df, tmp_path):
@@ -54,10 +55,36 @@ def test_manifest_lineage_counters(spark, turns_df, tmp_path):
 
 
 def test_fingerprint_isolation(spark, turns_df, tmp_path):
-    """A manifest row from one config never satisfies another config."""
+    """A manifest row from one config never satisfies another config,
+    and a bucketing change is a config change (ADVICE round 1)."""
     out, man = str(tmp_path / "o"), str(tmp_path / "m")
     run_with_resume(spark, turns_df, out, man, n_buckets=4)
     cfg2 = ExtractConfig(pad=4)
-    assert job_fingerprint(cfg2) != job_fingerprint(ExtractConfig())
+    assert job_fingerprint(cfg2, 4) != job_fingerprint(ExtractConfig(), 4)
+    assert job_fingerprint(ExtractConfig(), 4) != job_fingerprint(ExtractConfig(), 16)
     r = run_with_resume(spark, turns_df, str(tmp_path / "o2"), man, cfg=cfg2, n_buckets=4)
     assert r["buckets_completed"] == 4  # nothing skipped
+
+
+def test_zero_span_todo_bucket_cleared(spark, tmp_path):
+    """A todo bucket that yields zero spans must still clear its partition:
+    dynamic overwrite alone rewrites nothing for it, silently keeping rows
+    from an aborted earlier attempt (ADVICE round 1)."""
+    import os
+    out = str(tmp_path / "o")
+    turns_a = transcripts_df(spark, [
+        {"conv_id": "k", "turn_idx": 0, "role": "user",
+         "text": "Seventeen engineers review pipeline design documents today.",
+         "tool": None, "ts": None},
+    ])
+    # attempt 1 writes spans but "dies" before its manifest append lands
+    run_with_resume(spark, turns_a, out, str(tmp_path / "m1"), n_buckets=1)
+    fp = job_fingerprint(ExtractConfig(), 1)
+    part = os.path.join(out, f"job_fingerprint={fp}", "bucket_id=0")
+    assert any(f.endswith(".parquet") for f in os.listdir(part))
+    # retry with the same fingerprint: the conv's text now yields ZERO spans
+    turns_b = transcripts_df(spark, [
+        {"conv_id": "k", "turn_idx": 0, "role": "user", "text": "", "tool": None, "ts": None},
+    ])
+    run_with_resume(spark, turns_b, out, str(tmp_path / "m2"), n_buckets=1)
+    assert not os.path.isdir(part) or not any(f.endswith(".parquet") for f in os.listdir(part))

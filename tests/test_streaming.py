@@ -26,3 +26,15 @@ def test_stream_matches_oracle(spark, tmp_path):
     ]
     want = [(r["conv_id"], r["turn_idx"], r["span_rank"], r["text"]) for r in extract_table(turns)]
     assert got == want
+
+    # retry idempotence: replaying the same micro-batches (fresh WAL, same
+    # batch ids, same output dir) must overwrite, not duplicate -- the
+    # at-least-once foreachBatch contract (ADVICE round 1)
+    q2 = extract_stream(stream, str(tmp_path / "out"), str(tmp_path / "ckpt2"))
+    q2.awaitTermination(120)
+    got2 = [
+        (r.conv_id, r.turn_idx, r.span_rank, r.text)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .orderBy("conv_id", "turn_idx", "span_rank").collect()
+    ]
+    assert got2 == want
