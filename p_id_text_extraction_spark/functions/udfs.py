@@ -78,6 +78,58 @@ def make_detect_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
     return detect
 
 
+SPAN_ROW_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("span_rank", T.IntegerType(), False),
+    T.StructField("start", T.IntegerType(), False),
+    T.StructField("end", T.IntegerType(), False),
+    T.StructField("start_frac", T.DoubleType(), False),
+    T.StructField("end_frac", T.DoubleType(), False),
+    T.StructField("start_norm", T.DoubleType(), False),
+    T.StructField("end_norm", T.DoubleType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("text", T.StringType(), False),
+    T.StructField("confidence", T.DoubleType(), False),
+    T.StructField("method", T.StringType(), False),
+    T.StructField("provenance", T.ArrayType(T.StringType(), False), False),
+    T.StructField("is_grouped", T.BooleanType(), False),
+])
+
+_SPAN_COLS = [f.name for f in SPAN_ROW_SCHEMA.fields]
+
+
+def make_extract_rows_kernel(cfg: ExtractConfig = DEFAULT_CONFIG):
+    """mapInPandas kernel for the FUSED strategy: the whole per-turn oracle
+    (parse -> segment -> detect -> suppress -> cluster -> merge -> crop ->
+    normalize -> coord -> rank) in one Arrow-batched pass, emitting final
+    span rows directly.
+
+    Every post-detect stage keys on (conv_id, turn_idx) and the kernel sees
+    each turn whole, so nothing relational remains between the scan and the
+    sink: the physical plan is Scan -> MapInPandas -- ZERO exchanges, zero
+    sorts, embarrassingly parallel at any cluster size.  Byte-equality with
+    the oracle is structural (the kernel IS oracle.pipeline.extract_turn_tuples).
+    The relational strategy (plans/pipeline.extract_pipeline) keeps the
+    declarative window/aggregate algebra for engines that need per-stage
+    observability; both are golden-tested against the same oracle.
+    """
+    from p_id_text_extraction_spark.oracle.pipeline import extract_turn_tuples
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for conv_id, turn_idx, txt in zip(
+                pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(), pdf["text"].tolist()
+            ):
+                rows.extend(extract_turn_tuples(
+                    conv_id, int(turn_idx), txt if isinstance(txt, str) else None, cfg=cfg,
+                ))
+            yield pd.DataFrame(rows, columns=_SPAN_COLS)
+
+    return kernel
+
+
 def make_normalize_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
     """Confidence-gated text normalizer (text_recognition.py:111-131 analogue)."""
 

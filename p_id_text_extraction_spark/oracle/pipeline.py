@@ -146,11 +146,116 @@ def finalize(
     return rows
 
 
+OUTPUT_FIELDS = (
+    "conv_id", "turn_idx", "span_rank", "start", "end",
+    "start_frac", "end_frac", "start_norm", "end_norm",
+    "kind", "text", "confidence", "method", "provenance", "is_grouped",
+)
+
+
+def extract_turn_tuples(
+    conv_id: str, turn_idx: int, text: str | None, role: str | None = None,
+    tool: str | None = None, cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> list[tuple]:
+    """Full oracle pipeline for one turn, fused into a single sorted sweep.
+
+    This is the HOT implementation (the distributed kernel in
+    functions/udfs.py calls it per turn): suppress, cluster and merge all
+    consume the same (start asc, end desc, kind, block_idx) order, so one
+    sort + one pass computes them together -- suppress tracks its running
+    max over ALL rows, cluster over KEPT rows, merge folds the open
+    cluster's accumulators (exactly the staged semantics; the
+    tests/test_spec.py property pins `extract_turn` == staged composition).
+    Returns tuples in OUTPUT_FIELDS order.
+    """
+    norm_text, _kind = spec.parse_payload(text, role, tool)
+    n = len(norm_text)
+    cands: list[tuple] = []
+    for idx, b_start, b_end in spec.segment_offsets(n, cfg):
+        for s, e, kind, conf in spec.detect_spans(norm_text, b_start, b_end, cfg):
+            g_start, g_end = b_start + s, b_start + e   # local -> global shift
+            ls, le = spec.line_bounds(norm_text, g_start, g_end)
+            cands.append((g_start, -g_end, kind, idx, conf, ls, le))
+    if not cands:
+        return []
+    cands.sort()
+
+    thresh = cfg.contain_threshold_milli
+    gap = cfg.proximity_gap
+    sup_runmax = None          # suppress: running max over ALL rows
+    cl_runmax = None           # cluster: running max over KEPT rows
+    clusters: list[list] = []  # [m_start, m_end, kind, conf, ls, le, {idx}]
+    cur: list | None = None
+    for g_start, neg_end, kind, idx, conf, ls, le in cands:
+        g_end = -neg_end
+        if sup_runmax is not None:
+            if sup_runmax > g_start and \
+               1000 * (min(g_end, sup_runmax) - g_start) >= thresh * (g_end - g_start):
+                if g_end > sup_runmax:
+                    sup_runmax = g_end
+                continue
+            if g_end > sup_runmax:
+                sup_runmax = g_end
+        else:
+            sup_runmax = g_end
+        if cl_runmax is None or g_start > cl_runmax + gap:
+            cur = [g_start, g_end, kind, conf, ls, le, {idx}]
+            clusters.append(cur)
+        else:
+            if g_end > cur[1]:
+                cur[1] = g_end
+            if kind < cur[2]:
+                cur[2] = kind
+            if conf < cur[3]:
+                cur[3] = conf
+            if ls < cur[4]:
+                cur[4] = ls
+            if le > cur[5]:
+                cur[5] = le
+            cur[6].add(idx)
+        cl_runmax = g_end if cl_runmax is None or g_end > cl_runmax else cl_runmax
+
+    rows: list[tuple] = []
+    for m_start, m_end, kind, conf, ls, le, idxs in clusters:
+        c_start = max(0, m_start - cfg.pad, ls)
+        c_end = min(n, m_end + cfg.pad, le)
+        if c_end <= c_start:                              # zero-size crop skip (F7)
+            continue
+        out_text, method = spec.normalize_text(norm_text[c_start:c_end], conf, cfg)
+        if not out_text:                                  # empty-text drop (F6)
+            continue
+        rows.append((
+            c_start, c_end, kind, out_text, method,
+            [f"{conv_id}_{turn_idx}_B{i:04d}" for i in sorted(idxs)],
+            len(idxs) > 1, conf,
+        ))
+    rows.sort(key=lambda r: (r[0], r[1], r[2]))
+    return [
+        (conv_id, turn_idx, rank, c_start, c_end,
+         c_start / n, c_end / n,
+         round(c_start * cfg.coord_scale, cfg.coord_round),
+         round(c_end * cfg.coord_scale, cfg.coord_round),
+         kind, out_text, conf / 1000.0, method, provenance, grouped)
+        for rank, (c_start, c_end, kind, out_text, method, provenance, grouped, conf)
+        in enumerate(rows, start=1)
+    ]
+
+
 def extract_turn(
     conv_id: str, turn_idx: int, text: str | None, role: str | None = None,
     tool: str | None = None, cfg: ExtractConfig = DEFAULT_CONFIG,
 ) -> list[dict]:
-    """Full oracle pipeline for one turn."""
+    """Full oracle pipeline for one turn (dict rows)."""
+    return [dict(zip(OUTPUT_FIELDS, t))
+            for t in extract_turn_tuples(conv_id, turn_idx, text, role, tool, cfg)]
+
+
+def extract_turn_staged(
+    conv_id: str, turn_idx: int, text: str | None, role: str | None = None,
+    tool: str | None = None, cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> list[dict]:
+    """The stage-by-stage composition -- the readable reference decomposition
+    the fused sweep must match (property-tested in tests/test_spec.py)."""
     norm_text, cands = candidates_for_turn(conv_id, turn_idx, text, role, tool, cfg)
     return finalize(conv_id, turn_idx, norm_text, merge(cluster(suppress(cands, cfg), cfg)), cfg)
 

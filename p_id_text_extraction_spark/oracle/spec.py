@@ -47,13 +47,16 @@ _WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
 _URL_RE = re.compile(r"https?://")
 _MD_MARKER_RE = re.compile(r"(?m)^(?:#{1,6} |- |\* |\d+\. |```)")
 
+# &amp; decodes LAST (standard ordering for sequential replacement):
+# decoding it first would double-decode escaped entities, e.g.
+# "&amp;lt;" -> "&lt;" -> "<" instead of the correct literal "&lt;"
 _HTML_ENTITIES = [
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&nbsp;", " "),
+    ("&amp;", "&"),
 ]
 
 # characters counted as "separators" for the link-farm / boilerplate
@@ -108,6 +111,12 @@ def parse_payload(text: str | None, role: str | None, tool: str | None) -> tuple
     return text, "plain"
 
 
+# tag-strip regex for the joined fast path: identical to _ANY_TAG_RE within
+# a block, and the \x00 exclusion stops a dangling '<' in one block from
+# eating across the block separator into the next
+_ANY_TAG_JOINED_RE = re.compile(r"<[^>\x00]+>")
+
+
 def _parse_html(text: str) -> str:
     """HTML -> one canvas line per block-level element.
 
@@ -115,18 +124,43 @@ def _parse_html(text: str) -> str:
     entities decode; intra-block whitespace runs collapse to one space.
     Empty blocks vanish.  Blocks join with '\\n' so line-level detection
     (detect_spans) sees one block per line.
+
+    Fast path: blocks are joined with a '\\x00' sentinel so tag-stripping,
+    entity decoding and whitespace collapsing each run ONCE over the whole
+    document instead of once per block (none of those passes can cross the
+    sentinel); per-block strip/newline-collapse then runs on the re-split.
+    Payloads that already contain '\\x00' take the per-block slow path --
+    the two are byte-equivalent (tests/test_fuzz_spec.py property).
     """
     text = _DROP_ELEMENT_RE.sub("", text)
     text = _HTML_COMMENT_RE.sub("", text)
-    blocks = _BLOCK_SPLIT_RE.split(text)
+    if "\x00" in text:
+        return _parse_html_blocks(_BLOCK_SPLIT_RE.split(text))
+    joined = "\x00".join(_BLOCK_SPLIT_RE.split(text))
+    joined = _ANY_TAG_JOINED_RE.sub("", joined)
+    for ent, ch in _HTML_ENTITIES:
+        joined = joined.replace(ent, ch)
+    joined = _WS_RUN_RE.sub(" ", joined)
+    out: list[str] = []
+    for b in joined.split("\x00"):
+        b = b.strip()
+        if "\n" in b:
+            # a block may still contain newlines from source formatting;
+            # collapse them so the block is exactly one canvas line
+            b = " ".join(s for s in (p.strip() for p in b.split("\n")) if s)
+        if b:
+            out.append(b)
+    return "\n".join(out)
+
+
+def _parse_html_blocks(blocks: list[str]) -> str:
+    """Per-block reference path (the executable spec the fast path must match)."""
     out: list[str] = []
     for raw in blocks:
         b = _ANY_TAG_RE.sub("", raw)
         for ent, ch in _HTML_ENTITIES:
             b = b.replace(ent, ch)
         b = _WS_RUN_RE.sub(" ", b).strip()
-        # a block may still contain newlines from source formatting;
-        # collapse them so the block is exactly one canvas line
         b = " ".join(s for s in (p.strip() for p in b.split("\n")) if s)
         if b:
             out.append(b)
@@ -182,6 +216,20 @@ def block_id(conv_id: str, turn_idx: int, idx: int) -> str:
 _NON_ALNUMSP_RE = re.compile(r"[^\w ]")
 _SEP_RE = re.compile(r"[|·•,;/>\[\](){}=<]")
 
+# ASCII fast path for the two counts: bytes.translate(None, delete) is a
+# C memchr-style pass ~5x cheaper than the regex sub.  For ASCII input
+# `[\w ]` is exactly [0-9A-Za-z_ ] and none of the non-ASCII separators
+# (·, •) can occur, so the byte counts equal the regex counts
+# (tests/test_fuzz_spec.py property pins the equivalence).
+_ALNUMSP_BYTES = (
+    b"0123456789"
+    b"ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    b"abcdefghijklmnopqrstuvwxyz"
+    b"_ "
+)
+_DEL_NON_ALNUMSP = bytes(b for b in range(128) if b not in _ALNUMSP_BYTES)
+_SEP_BYTES = b"|,;/>[](){}=<"
+
 
 def line_features(line: str) -> tuple[int, int, int, bool, bool]:
     """Per-line features, all integers.
@@ -197,21 +245,29 @@ def line_features(line: str) -> tuple[int, int, int, bool, bool]:
     ln = len(stripped)
     if ln == 0:
         return 0, 0, 0, False, True
-    # one sub() pass: survivors of removing non-(word|space) chars
-    alnum = len(_NON_ALNUMSP_RE.sub("", stripped))
+    # survivors of removing non-(word|space) chars: bytes.translate on the
+    # (overwhelmingly common) ASCII path, one regex sub() pass otherwise
+    if stripped.isascii():
+        sb = stripped.encode()
+        alnum = len(sb.translate(None, _DEL_NON_ALNUMSP))
+        sep_count = ln - len(sb.translate(None, _SEP_BYTES))
+    else:
+        sb = None
+        alnum = len(_NON_ALNUMSP_RE.sub("", stripped))
+        sep_count = -1  # computed lazily below only if needed
     alnum_milli = (1000 * alnum) // ln
     is_code = line.startswith(("    ", "\t", "```"))
-    # boiler disjunction, cheapest-first with short-circuit (the separator
-    # regex pass only runs when the density check alone doesn't decide);
-    # link-farm / footer heuristics are the link-density analogue of the
-    # reference's CRAFT link-score map (text_detection.py:72-99)
+    # boiler disjunction, cheapest-first with short-circuit; link-farm /
+    # footer heuristics are the link-density analogue of the reference's
+    # CRAFT link-score map (text_detection.py:72-99)
     is_boiler = (
         alnum_milli < DEFAULT_CONFIG.min_alnum_density_milli
         or "http://" in stripped or "https://" in stripped
         or stripped.count("|") >= 2
-        or stripped.count("·") >= 2
+        or (sb is None and stripped.count("·") >= 2)
         or "©" in stripped
-        or (1000 * (ln - len(_SEP_RE.sub("", stripped)))) // ln
+        or (1000 * (sep_count if sb is not None
+                    else ln - len(_SEP_RE.sub("", stripped)))) // ln
            > DEFAULT_CONFIG.max_sep_density_milli
     )
     # code lines are low-density but are content, not boilerplate
@@ -320,8 +376,11 @@ def normalize_text(cropped: str, conf_milli: int, cfg: ExtractConfig = DEFAULT_C
     """
     if conf_milli >= cfg.conf_threshold_milli:
         return _ascii_strip(cropped), METHOD_PRIMARY
-    parts = [p for p in re.split(r"[ \t\r\n\f\v]+", cropped) if p]
+    parts = [p for p in _FALLBACK_WS_RE.split(cropped) if p]
     return " ".join(parts), METHOD_FALLBACK
+
+
+_FALLBACK_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 
 
 def _ascii_strip(s: str) -> str:

@@ -53,6 +53,27 @@ def extract_pipeline(
     return final.select(*ops.OUTPUT_COLUMNS)
 
 
+def extract_pipeline_fused(
+    turns: DataFrame,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """FUSED strategy: the entire per-turn pipeline inside one Arrow kernel.
+
+    Plan = Scan -> MapInPandas.  Zero exchanges, zero sorts: every stage
+    after detect is local to (conv_id, turn_idx) and the kernel sees each
+    turn whole, so there is nothing to shuffle -- the map-only shape is the
+    minimal-communication plan for this computation and scales linearly
+    with executors (the north_rule two-cluster-size criterion).  Same
+    output schema and bytes as `extract_pipeline` (golden-tested); use the
+    relational strategy when per-stage lineage counters (observe) or
+    engine-side operator introspection are needed.
+    """
+    cfg.validate()
+    from p_id_text_extraction_spark.functions.udfs import SPAN_ROW_SCHEMA, make_extract_rows_kernel
+    pruned = turns.select("conv_id", "turn_idx", "text")
+    return pruned.mapInPandas(make_extract_rows_kernel(cfg), SPAN_ROW_SCHEMA)
+
+
 def run_metrics(observation: Observation) -> dict:
     """Materialized counter values; call after an action on the plan."""
     return dict(observation.get)

@@ -6,8 +6,10 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import re
+
 from p_id_text_extraction_spark.oracle import spec
-from p_id_text_extraction_spark.oracle.pipeline import extract_turn
+from p_id_text_extraction_spark.oracle.pipeline import extract_turn, extract_turn_staged
 
 text_strategy = st.one_of(
     st.text(max_size=600),
@@ -31,6 +33,78 @@ def test_parse_never_crashes_and_detect_bounds(text):
             assert 0 <= ls < le <= e - s
             assert k in ("content", "code")
             assert 0 <= conf <= 1000
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_fused_extract_turn_matches_staged(text):
+    """The fused single-sweep extract_turn must be byte-equal to the
+    stage-by-stage composition (suppress -> cluster -> merge -> finalize)."""
+    assert extract_turn("c", 0, text) == extract_turn_staged("c", 0, text)
+
+
+def _line_features_reference(line: str):
+    """Spec re-statement of line_features with the regex-only counting path
+    (the ASCII bytes.translate fast path must match this exactly)."""
+    from p_id_text_extraction_spark.config import DEFAULT_CONFIG
+    stripped = line.strip()
+    ln = len(stripped)
+    if ln == 0:
+        return 0, 0, 0, False, True
+    alnum = len(re.sub(r"[^\w ]", "", stripped))
+    alnum_milli = (1000 * alnum) // ln
+    is_code = line.startswith(("    ", "\t", "```"))
+    is_boiler = (
+        alnum_milli < DEFAULT_CONFIG.min_alnum_density_milli
+        or "http://" in stripped or "https://" in stripped
+        or stripped.count("|") >= 2
+        or stripped.count("·") >= 2
+        or "©" in stripped
+        or (1000 * (ln - len(re.sub(r"[|·•,;/>\[\](){}=<]", "", stripped)))) // ln
+           > DEFAULT_CONFIG.max_sep_density_milli
+    )
+    if is_code:
+        is_boiler = False
+    return alnum, alnum_milli, ln, is_code, is_boiler
+
+
+@given(st.one_of(
+    st.text(max_size=200),
+    st.text(alphabet="ab |,;/>[](){}=<·•©\t_0. ", max_size=200),
+))
+@settings(max_examples=400, deadline=None)
+def test_line_features_fast_path_matches_reference(line):
+    assert spec.line_features(line) == _line_features_reference(line)
+
+
+html_strategy = st.one_of(
+    st.text(alphabet="<>/abp&;#\"= \n\tdivscriptlbr-!", max_size=400),
+    st.builds(
+        lambda parts: "".join(parts),
+        st.lists(st.sampled_from([
+            "<p>", "</p>", "<div class='x'>", "</div>", "<br>", "text words",
+            "&amp;", "&lt;", "&amp;lt;", "&nbsp;", "  ", "\n", "<script>var x;</script>",
+            "<!-- c -->", "<a href='u'>L</a>", "dangling <tag", "> stray",
+        ]), max_size=40),
+    ),
+)
+
+
+@given(html_strategy)
+@settings(max_examples=300, deadline=None)
+def test_parse_html_fast_path_matches_per_block(html):
+    fast = spec._parse_html(html)
+    slow = spec._parse_html_blocks(
+        spec._BLOCK_SPLIT_RE.split(spec._HTML_COMMENT_RE.sub("", spec._DROP_ELEMENT_RE.sub("", html)))
+    )
+    assert fast == slow
+
+
+def test_html_escaped_entities_single_decode():
+    """&amp; decodes last: '&amp;lt;' is the literal text '&lt;', not '<'."""
+    norm, kind = spec.parse_payload("<p>a &amp;lt; b</p>", None, None)
+    assert kind == "html"
+    assert norm == "a &lt; b"
 
 
 @given(text_strategy)

@@ -9,7 +9,7 @@ import math
 import pytest
 
 from p_id_text_extraction_spark.oracle.pipeline import extract_table
-from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
+from p_id_text_extraction_spark.plans.pipeline import extract_pipeline, extract_pipeline_fused
 from p_id_text_extraction_spark.sources.transcripts import gen_turns, transcripts_df
 
 KEY = ["conv_id", "turn_idx", "span_rank"]
@@ -70,6 +70,40 @@ def test_output_invariant_under_repartition(spark, tiny_turns, k):
     (SURVEY.md 7.3 hard part #2)."""
     df = extract_pipeline(transcripts_df(spark, tiny_turns).repartition(k), num_partitions=k)
     assert_equal_rows(_spark_rows(df), _oracle_rows(tiny_turns))
+
+
+def test_fused_byte_equality(spark, small_turns):
+    """The FUSED (map-only) strategy must produce the same bytes as the
+    oracle -- and therefore as the relational strategy."""
+    df = extract_pipeline_fused(transcripts_df(spark, small_turns))
+    rows = _spark_rows(df)
+    assert len(rows) > 50
+    assert_equal_rows(rows, _oracle_rows(small_turns))
+
+
+def test_fused_plan_is_map_only(spark, tiny_turns):
+    """Scale contract of the fused strategy: ZERO exchanges, zero sorts --
+    a pure map plan that scales linearly with executors."""
+    df = extract_pipeline_fused(transcripts_df(spark, tiny_turns))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    assert plan.count("+- Sort ") == 0
+    assert plan.count("MapInPandas") == 1
+
+
+def test_fused_schema_matches_relational(spark, tiny_turns):
+    a = extract_pipeline(transcripts_df(spark, tiny_turns)).schema
+    b = extract_pipeline_fused(transcripts_df(spark, tiny_turns)).schema
+    assert [(f.name, f.dataType.simpleString()) for f in a.fields] == \
+           [(f.name, f.dataType.simpleString()) for f in b.fields]
+
+
+def test_fused_degenerate_turns(spark):
+    turns = [
+        {"conv_id": "c0", "turn_idx": 0, "role": "user", "text": "", "tool": None, "ts": None},
+        {"conv_id": "c0", "turn_idx": 1, "role": "user", "text": None, "tool": None, "ts": None},
+    ]
+    assert extract_pipeline_fused(transcripts_df(spark, turns)).count() == 0
 
 
 def test_degenerate_turns_produce_no_rows_but_run(spark):
