@@ -1,20 +1,35 @@
 """Benchmark harness.
 
 Main mode: times the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], runs the extraction
-pipeline at TWO parallelism levels (N and 4N cores, separate subprocesses
-so JVM/JIT state cannot leak between levels) over the same deterministic
-bench transcripts table, and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], then runs the extraction
+pipeline (FUSED map-only strategy -- plans/pipeline.extract_pipeline_fused)
+at multiple CPU-PINNED parallelism levels over the same deterministic bench
+transcripts table, and prints ONE JSON line:
 
     {"metric": "...", "value": <turns/sec at 4N>, "unit": "...",
      "queries": {...}, "sf": ..., "scaling": {...}}
 
 Scaling evidence for the north_rule's two-cluster-size criterion
-(BASELINE.md): efficiency = (throughput_4N / throughput_N) / 4.
-Results also land in BENCH/BASELINE.md.
+(BASELINE.md):
+  * primary pair N=CPUS/4 -> 4N=CPUS (saturated: the 4N level runs
+    CPUS JVM task threads PLUS CPUS Python workers on CPUS hardware
+    threads);
+  * `ceiling`: an in-run CONTROL -- the same per-turn kernel under plain
+    multiprocessing.Pool (zero coordination, zero JVM, zero shuffle) at the
+    same pinned levels.  Its efficiency is the HARDWARE ceiling of this box
+    at saturation; `efficiency_vs_ceiling` is the engine's efficiency
+    normalized by it;
+  * `unsaturated`: the pinned CPUS/8 -> CPUS/2 pair, where both levels own
+    their cores outright -- the executor-sized-cluster simulation.
 
-Subprocess mode (internal): bench.py --extract-run <cores> <parquet_path>
-prints {"turns": N, "wall_s": W} for one pipeline run at local[cores].
+Every level runs in its own subprocess, CPU-pinned with taskset to exactly
+its core budget, full warm-up pass, then best-of-K (this shared-host VM
+shows 2x+ run-to-run noise; the minimum approximates uncontended
+capability, and the median is reported alongside).
+
+Subprocess modes (internal):
+  bench.py --extract-run <cores> <parquet_path>   one pipeline run
+  bench.py --control-run <cores> <parquet_path>   multiprocessing control
 """
 
 from __future__ import annotations
@@ -32,11 +47,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TURNS_CONVS = int(os.environ.get("BENCH_CONVS", "48000"))
 BENCH_TRANSCRIPTS = os.environ.get(
-    "BENCH_TRANSCRIPTS", f"/tmp/bench_transcripts_c{BENCH_TURNS_CONVS}_v1.parquet"
+    "BENCH_TRANSCRIPTS", f"/tmp/bench_transcripts_c{BENCH_TURNS_CONVS}_v2.parquet"
 )
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+SWEEPS = int(os.environ.get("BENCH_SWEEPS", "2"))
 
 HEADLINE = [
     "extract_full",
+    "extract_fused",
     "extract_pipeline_core",
     "agg_pricing_summary",
     "join_broadcast_enrich",
@@ -60,27 +78,98 @@ def ensure_bench_transcripts(spark) -> str:
 
 
 def extract_run(cores: int, path: str) -> None:
-    """Subprocess body: one full pipeline run, wall-timed after session-up."""
-    from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
+    """Subprocess body: fused-pipeline runs, wall-timed after session-up."""
+    from p_id_text_extraction_spark.plans.pipeline import extract_pipeline_fused
     from p_id_text_extraction_spark.session import get_spark
     from p_id_text_extraction_spark.sources.transcripts import read_transcripts
 
-    spark = get_spark(app=f"bench_extract_{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    # fine-grained scan splits: the map-only plan's wall time is its slowest
+    # task wave, so ~2 files per task (>=8 waves at 32 cores) smooths the
+    # zipf-sized stragglers that a default 128MB packing would create.
+    spark = get_spark(app=f"bench_extract_{cores}", cores=cores, shuffle_partitions=max(cores, 8),
+                      extra={"spark.sql.files.maxPartitionBytes": "2m",
+                             "spark.sql.files.openCostInBytes": "262144"})
     turns = read_transcripts(spark, path)
     n_turns = turns.count()
     # warm-up: FULL pipeline pass (untimed) so every python worker, the
     # Arrow path, and JIT are hot before measurement -- otherwise the
     # timed run at high core counts pays one python-worker cold start per
-    # core.  Then best-of-3: this sandbox VM shows 2x+ run-to-run noise
-    # (shared host), and the minimum approximates uncontended capability.
-    extract_pipeline(turns).write.format("noop").mode("overwrite").save()
+    # core.
+    extract_pipeline_fused(turns).write.format("noop").mode("overwrite").save()
     walls = []
-    for _ in range(4):
+    for _ in range(RUNS):
         t0 = time.monotonic()
-        extract_pipeline(turns).write.format("noop").mode("overwrite").save()
+        extract_pipeline_fused(turns).write.format("noop").mode("overwrite").save()
         walls.append(time.monotonic() - t0)
     print(json.dumps({"turns": n_turns, "wall_s": min(walls), "walls": [round(w, 2) for w in walls]}))
     spark.stop()
+
+
+def _control_worker(file_path: str) -> int:
+    """One control task: read a parquet part with pyarrow, run the SAME
+    per-turn kernel the fused pipeline runs.  No JVM, no Arrow IPC, no
+    coordination -- pure python multiprocessing."""
+    import pyarrow.parquet as pq
+    from p_id_text_extraction_spark.oracle.pipeline import extract_turn_tuples
+    tbl = pq.read_table(file_path, columns=["conv_id", "turn_idx", "text"])
+    conv = tbl.column("conv_id").to_pylist()
+    tidx = tbl.column("turn_idx").to_pylist()
+    text = tbl.column("text").to_pylist()
+    n = 0
+    for c, t, x in zip(conv, tidx, text):
+        n += len(extract_turn_tuples(c, int(t), x if isinstance(x, str) else None))
+    return len(conv)
+
+
+def control_run(cores: int, path: str) -> None:
+    """Subprocess body: the zero-coordination multiprocessing control."""
+    import multiprocessing as mp
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    with mp.Pool(cores) as pool:
+        pool.map(_control_worker, files[:cores])     # warm-up: fork + import cost
+        walls, turns = [], 0
+        for _ in range(3):
+            t0 = time.monotonic()
+            counts = pool.map(_control_worker, files)
+            walls.append(time.monotonic() - t0)
+            turns = sum(counts)
+    print(json.dumps({"turns": turns, "wall_s": min(walls), "walls": [round(w, 2) for w in walls]}))
+
+
+def _run_pinned(mode: str, cores: int, path: str) -> dict:
+    import shutil
+    cmd = [sys.executable, os.path.abspath(__file__), mode, str(cores), path]
+    taskset = shutil.which("taskset")
+    if taskset:
+        cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
+    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _sweep(mode: str, levels: list[int], path: str) -> dict:
+    """Run every level, SWEEPS times, INTERLEAVED (A B C .. A B C ..): this
+    box drifts 1.5-2x over minutes (shared host), so measuring level A
+    entirely inside a slow window and level B inside a fast one would
+    corrupt the ratio; interleaving + min-of-all-runs makes each level's
+    number its best uncontended capability."""
+    acc: dict[int, dict] = {}
+    for _ in range(SWEEPS):
+        for cores in levels:
+            r = _run_pinned(mode, cores, path)
+            a = acc.setdefault(cores, {"turns": r["turns"], "walls": []})
+            a["walls"].extend(r.get("walls") or [r["wall_s"]])
+    out = {}
+    for cores, a in acc.items():
+        walls = a["walls"]
+        med = sorted(walls)[len(walls) // 2]
+        out[cores] = {"turns": a["turns"], "wall_s": round(min(walls), 3), "walls": walls,
+                      "wall_median_s": round(med, 3),
+                      "turns_per_sec": round(a["turns"] / min(walls), 1),
+                      "turns_per_sec_median": round(a["turns"] / med, 1)}
+    return out
 
 
 def run_scaling(path: str) -> dict:
@@ -89,54 +178,66 @@ def run_scaling(path: str) -> dict:
     onto the 24 idle cores -- free capacity a real 8-core executor never
     has -- which understates scaling.  Pinning makes every level a faithful
     fixed-size-executor simulation."""
-    import shutil
     lo, hi = max(1, CPUS // 4), CPUS
-    levels = sorted({lo, hi, max(1, lo // 4)})  # secondary low point shows box saturation
-    taskset = shutil.which("taskset")
-    out = {}
-    for cores in levels:
-        cmd = [sys.executable, os.path.abspath(__file__), "--extract-run", str(cores), path]
-        if taskset:
-            cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
-        proc = subprocess.run(
-            cmd,
-            capture_output=True, text=True, timeout=3000,
-        )
-        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
-        out[cores] = {"turns": r["turns"], "wall_s": round(r["wall_s"], 3),
-                      "walls": r.get("walls"),
-                      "turns_per_sec": round(r["turns"] / r["wall_s"], 1)}
-    eff = (out[hi]["turns_per_sec"] / out[lo]["turns_per_sec"]) / (hi / lo)
-    lo2 = max(1, lo // 4)
-    eff2 = (out[lo]["turns_per_sec"] / out[lo2]["turns_per_sec"]) / (lo / lo2) if lo2 != lo else None
-    return {"cores_n": lo, "cores_4n": hi,
-            "throughput_n": out[lo]["turns_per_sec"],
-            "throughput_4n": out[hi]["turns_per_sec"],
-            "wall_n_s": out[lo]["wall_s"], "wall_4n_s": out[hi]["wall_s"],
-            "bench_turns": out[hi]["turns"],
-            "efficiency": round(eff, 3),
-            "secondary": {"cores": [lo2, lo],
-                          "throughput": [out[lo2]["turns_per_sec"], out[lo]["turns_per_sec"]],
-                          "efficiency": round(eff2, 3) if eff2 else None},
-            "all_levels": out}
+    un_lo, un_hi = max(1, CPUS // 8), max(1, CPUS // 2)
+    levels = sorted({lo, hi, un_lo, un_hi})
+    out = _sweep("--extract-run", levels, path)
+
+    def eff(a: int, b: int, key: str = "turns_per_sec") -> float:
+        return round((out[b][key] / out[a][key]) / (b / a), 3)
+
+    # in-run hardware-ceiling control at the primary pair
+    ctrl = _sweep("--control-run", [lo, hi], path)
+    ceiling = round((ctrl[hi]["turns_per_sec"] / ctrl[lo]["turns_per_sec"]) / (hi / lo), 3)
+
+    efficiency = eff(lo, hi)
+    return {
+        "cores_n": lo, "cores_4n": hi,
+        "throughput_n": out[lo]["turns_per_sec"],
+        "throughput_4n": out[hi]["turns_per_sec"],
+        "wall_n_s": out[lo]["wall_s"], "wall_4n_s": out[hi]["wall_s"],
+        "bench_turns": out[hi]["turns"],
+        "strategy": "fused (map-only, zero-shuffle)",
+        "efficiency": efficiency,
+        "efficiency_median": eff(lo, hi, "turns_per_sec_median"),
+        "ceiling": {
+            "what": "same kernel, plain multiprocessing.Pool, zero coordination",
+            "cores": [lo, hi],
+            "throughput": [ctrl[lo]["turns_per_sec"], ctrl[hi]["turns_per_sec"]],
+            "walls": {lo: ctrl[lo]["walls"], hi: ctrl[hi]["walls"]},
+            "efficiency": ceiling,
+        },
+        "efficiency_vs_ceiling": round(efficiency / ceiling, 3) if ceiling else None,
+        "unsaturated": {
+            "cores": [un_lo, un_hi],
+            "throughput": [out[un_lo]["turns_per_sec"], out[un_hi]["turns_per_sec"]],
+            "efficiency": eff(un_lo, un_hi),
+        },
+        "all_levels": out,
+    }
 
 
 def write_baseline_md(scaling: dict, queries: dict, sf: str) -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    sec = scaling.get("secondary") or {}
+    un = scaling.get("unsaturated") or {}
+    ceil = scaling.get("ceiling") or {}
     lines = [
         "# BENCH/BASELINE.md -- measured numbers",
         "",
         "## Extraction throughput + scaling (north_rule criterion)",
         "",
+        f"Strategy: {scaling['strategy']} -- plan is Scan -> MapInPandas, zero",
+        "exchanges, so the only scaling limits are the box itself and the",
+        "Arrow/JVM harness.",
+        "",
         f"Bench table: {scaling['bench_turns']} turns (deterministic distributed",
         "generator, seed-free per-conv md5 derivation), identical input at every",
-        "parallelism level; separate subprocess + fresh JVM per level, CPU-PINNED",
-        "(taskset) to exactly its core budget so each level is a faithful",
-        "fixed-size-executor simulation (unpinned, a low level's Python workers",
-        "overflow onto idle cores a real executor never has); full warm-up pass",
-        "then best-of-4 timed runs (this shared-host VM shows 2x+ run noise).",
+        "parallelism level; separate subprocess + fresh JVM per run, CPU-PINNED",
+        f"(taskset) to exactly its core budget; {SWEEPS} INTERLEAVED sweeps of",
+        f"all levels x {RUNS} timed runs each after a warm-up pass (this",
+        "shared-host VM drifts 1.5-2x over minutes, so levels are never",
+        "measured in disjoint time windows; min-of-all-runs per level, with",
+        "median-based efficiency reported alongside).",
         "",
         "| parallelism | best wall s | turns/sec | all walls |",
         "| --- | --- | --- | --- |",
@@ -146,23 +247,25 @@ def write_baseline_md(scaling: dict, queries: dict, sf: str) -> None:
     ] + [
         "",
         f"**scaling efficiency N={scaling['cores_n']} -> 4N={scaling['cores_4n']}:"
-        f" (T_4N/T_N)/4 = {scaling['efficiency']}** (target >= 0.8)",
+        f" (T_4N/T_N)/4 = {scaling['efficiency']}** (target >= 0.8;"
+        f" median-based: {scaling['efficiency_median']})",
         "",
-    ] + ([
-        f"**secondary efficiency {sec['cores'][0]} -> {sec['cores'][1]} cores:"
-        f" {sec['efficiency']}**",
+        f"**hardware-ceiling control (recorded in-run, same kernel under plain"
+        f" multiprocessing.Pool, zero coordination): {ceil.get('efficiency')}"
+        f" at {ceil.get('cores')} cores; engine efficiency / ceiling ="
+        f" {scaling.get('efficiency_vs_ceiling')}**",
         "",
-    ] if sec.get("efficiency") else []) + [
-        "Context for the N->4N number: the 4N level saturates every hardware",
-        "thread of this 32-core VM with 32 JVM task threads PLUS 32 Python",
-        "workers; a pure-Python multiprocessing control (zero coordination,",
-        "zero shuffle) measures only ~0.69 per-process efficiency going 8 -> 32",
-        "saturated processes on this box, so ~0.7 is the hardware ceiling for",
-        "any CPU-bound job at full saturation here.  The secondary (pinned,",
-        "unsaturated) pair isolates the engine's own scaling behaviour; on a",
-        "real multi-executor cluster each executor owns its cores and the",
-        "partition-parallel design has no cross-executor coordination beyond",
-        "the single exchange.",
+        f"**unsaturated pinned pair {un.get('cores')}: {un.get('efficiency')}**",
+        "",
+        "Reading: the 4N level saturates every hardware thread of this"
+        f" {scaling['cores_4n']}-core VM with {scaling['cores_4n']} JVM task"
+        f" threads PLUS {scaling['cores_4n']} Python workers.  The control shows",
+        "what ANY fully-saturated CPU-bound multiprocessing job scales to on",
+        "this box -- that is the hardware ceiling, recorded in the bench JSON",
+        "(`scaling.ceiling`), not asserted.  On a real multi-executor cluster",
+        "each executor owns its cores; the map-only plan has zero",
+        "cross-executor coordination, so per-executor behaviour is the",
+        "unsaturated pair.",
         "",
         f"## Headline query wall times ({sf}, local[{CPUS}])",
         "",
@@ -179,6 +282,9 @@ def write_baseline_md(scaling: dict, queries: dict, sf: str) -> None:
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--extract-run":
         extract_run(int(sys.argv[2]), sys.argv[3])
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--control-run":
+        control_run(int(sys.argv[2]), sys.argv[3])
         return
 
     from p_id_text_extraction_spark.plans.queries import QUERIES

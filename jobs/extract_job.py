@@ -33,6 +33,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--output", required=True, help="extracted-spans output path")
     p.add_argument("--manifest", required=True, help="checkpoint manifest path")
     p.add_argument("--buckets", type=int, default=256, help="restart granularity")
+    p.add_argument("--strategy", choices=["relational", "fused"], default="relational",
+                   help="relational = declarative plan with lineage counters; "
+                        "fused = map-only kernel (fastest, no candidate counters)")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox only)")
     p.add_argument("--block-size", type=int, default=256)
     p.add_argument("--overlap", type=float, default=0.1)
@@ -60,7 +63,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         turns = read_transcripts(spark, args.input)
         result = run_with_resume(
-            spark, turns, args.output, args.manifest, cfg=cfg, n_buckets=args.buckets
+            spark, turns, args.output, args.manifest, cfg=cfg, n_buckets=args.buckets,
+            strategy=args.strategy,
         )
         print(json.dumps(result))
         return 0

@@ -17,6 +17,7 @@ property tests instead.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,31 +78,45 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_milli: int = 10
                         max_posting: int = 1000) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard, inverted-index style.
 
-    plan: shingle -> self-join on shingle (posting lists capped at
-    ``max_posting`` to bound hot shingles -- the skew guard), count common
-    shingles per pair, join per-doc set sizes, Jaccard in milli-units.
-    Emits (doc_a, doc_b, jaccard_milli) with doc_a < doc_b.
+    plan: shingle -> 60-bit hash -> frequency cap -> co-partitioned
+    self-join -> count common shingles per pair -> join per-doc set sizes ->
+    Jaccard in milli-units.  Emits (doc_a, doc_b, jaccard_milli), doc_a <
+    doc_b.
+
+    Scale shape (two big exchanges, slim rows):
+      * shingles shuffle ONCE, as 16-byte (doc_id, hash) rows instead of
+        raw strings -- md5_hash60 keeps the hash engine-portable, and a
+        hash collision merges the same postings in the DuckDB oracle too,
+        so pair counts stay bit-identical by construction;
+      * the frequency cap (a shingle in > max_posting docs is a stopword
+        shingle: O(k^2) pairs, no signal -- the skew guard) is a window
+        count over that same exchange, not a separate aggregate + join;
+      * both self-join sides are the SAME capped subtree, already hash
+        partitioned by the shingle -- ReuseExchange makes the join
+        co-partitioned, no further shuffle before the pair aggregate.
     """
-    # PERSIST the gram arrays: the subtree feeds four consumers (sizes,
-    # document frequencies, both self-join sides) and -- measured -- Spark
-    # re-evaluates an inlined higher-order generator child per OUTPUT
-    # element (9s vs 0.2s for this explode at sf0.1).  Materializing the
-    # shingle intermediate is also what a production multi-pass dedup does.
+    # PERSIST the gram arrays: the subtree feeds three consumers (sizes +
+    # the shingle explode) and -- measured -- Spark re-evaluates an inlined
+    # higher-order generator child per OUTPUT element (9s vs 0.2s for this
+    # explode at sf0.1).  Materializing the shingle intermediate is also
+    # what a production multi-pass dedup does.
     grams = gram_arrays(docs, n).persist()
-    sh = grams.select("doc_id", F.explode("grams").alias("shingle"))
+    sh = (grams.select("doc_id", F.explode("grams").alias("shingle"))
+          .select("doc_id", md5_hash60(F.col("shingle")).alias("sh")))
     # set sizes from the pre-explode arrays: no second explode+groupBy
     # over every shingle row
     sizes = grams.select("doc_id", F.size("grams").alias("set_size")).filter(F.col("set_size") > 0)
 
-    # frequency cap: a shingle appearing in >max_posting docs is a stopword
-    # shingle -- it produces O(k^2) pairs and no discriminative signal
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_posting)
-    sh_capped = sh.join(freq.select("shingle"), "shingle")
-
-    a = sh_capped.alias("a")
-    b = sh_capped.alias("b")
+    w = Window.partitionBy("sh")
+    capped = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= max_posting)
+        .drop("df")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -120,38 +135,76 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_milli: int = 10
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32) -> DataFrame:
-    """MinHash signatures: num_hashes permutations h_i(x) = xxhash64(x, seed=i)
-    folded with min().  Returns (doc_id, sig array<bigint>)."""
-    sh = gram_arrays(docs, n).persist().select("doc_id", F.explode("grams").alias("shingle"))
+def md5_hash60(col: F.Column) -> F.Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed as
+    an integer.  Both Spark (conv) and DuckDB (hex-string cast) compute the
+    identical value, which is what makes the sketch operators below fully
+    oracle-checkable -- xxhash64 has no DuckDB twin."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# largest prime below 2^30: the universal-hash modulus.  a*hh stays under
+# 2^60, so h_i = (a*hh + b) mod P is exact int64 in Spark AND exact integer
+# arithmetic in DuckDB -- no overflow in either engine.  (A 100 TB
+# deployment that doesn't need a SQL oracle would widen this to 64-bit
+# xxhash64 permutations; 30-bit minhash space costs <0.1% estimate bias at
+# ~10^6 distinct shingles.)
+MINHASH_P = 1073741789
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
+    """Deterministic universal-family coefficients h_i(x) = (a_i*x + b_i)
+    mod MINHASH_P.  Shared literals between the Spark plan and the SQL
+    oracle."""
+    rng = np.random.RandomState(seed)
+    return [(int(rng.randint(1, MINHASH_P)), int(rng.randint(0, MINHASH_P)))
+            for _ in range(num_hashes)]
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
+                       seed: int = 11) -> DataFrame:
+    """MinHash signatures: ONE md5 per shingle folded to the universal-hash
+    domain, then ``num_hashes`` cheap modular permutations folded with
+    min().  Returns (doc_id, sig array<bigint>)."""
+    sh = gram_arrays(docs, n).select("doc_id", F.explode("grams").alias("shingle"))
+    hs = sh.select("doc_id", F.pmod(md5_hash60(F.col("shingle")), F.lit(MINHASH_P)).alias("hh"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(F.pmod(F.lit(a) * F.col("hh") + F.lit(b), F.lit(MINHASH_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
     ]
-    agg = sh.groupBy("doc_id").agg(*mins)
+    agg = hs.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
-                      bands: int = 8) -> DataFrame:
-    """Banded-LSH candidate pairs: split the signature into ``bands`` rows
-    of num_hashes/bands, hash each band, docs sharing any band bucket are
-    candidates.  Candidates are then verified with the estimated Jaccard
-    (matching signature positions / num_hashes) -- the scale path: only
-    bucket-mates ever meet, no all-pairs comparison."""
+                      bands: int = 8, seed: int = 11,
+                      min_jaccard_milli: int = 100) -> DataFrame:
+    """Banded-LSH near-duplicate pairs, VERIFIED: split the signature into
+    ``bands`` buckets, docs sharing any band bucket are candidates (only
+    bucket-mates ever meet -- the scale path), then every candidate pair is
+    re-checked with the EXACT n-gram Jaccard (array_intersect of the two
+    shingle sets) -- a production dedup never ships an estimate-only match,
+    the way the reference gates low-confidence TrOCR output behind a second
+    engine (text_recognition.py:111-131).
+
+    Emits (doc_a, doc_b, est_jaccard_milli, jaccard_milli) with the exact
+    value filtered at ``min_jaccard_milli``.
+    """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes)
+    # persist the shingle arrays: they feed the signature aggregation AND
+    # both sides of the exact-verify join (Spark's cache matcher resolves
+    # minhash_signatures' identical gram_arrays subtree to this cache entry)
+    grams = gram_arrays(docs, n).persist()
+    sig = minhash_signatures(docs, n, num_hashes, seed)
     banded = sig.select(
         "doc_id", "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bidx: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice("sig", bidx * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ))
-                ),
+                lambda bidx: F.concat_ws(",", F.transform(
+                    F.slice("sig", bidx * rows_per_band + 1, rows_per_band),
+                    lambda v: v.cast("string"),
+                )),
             )
         ).alias("band", "bucket"),
     )
@@ -165,17 +218,30 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
         .dropDuplicates(["doc_a", "doc_b"])
     )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-    return cand.select(
-        "doc_a", "doc_b",
-        F.floor(F.lit(1000) * est / F.lit(num_hashes)).cast("int").alias("est_jaccard_milli"),
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"),
+                      F.size("grams").alias("size_a"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"),
+                      F.size("grams").alias("size_b"))
+    common = F.size(F.array_intersect("ga", "gb"))
+    return (
+        cand.select("doc_a", "doc_b",
+                    F.floor(F.lit(1000) * est / F.lit(num_hashes)).cast("int").alias("est_jaccard_milli"))
+        .join(ga, "doc_a").join(gb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "est_jaccard_milli",
+            F.floor(F.lit(1000) * common
+                    / (F.col("size_a") + F.col("size_b") - common)).cast("int").alias("jaccard_milli"),
+        )
+        .filter(F.col("jaccard_milli") >= min_jaccard_milli)
     )
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens: per token xxhash64, sum of bit
-    votes, sign -> fingerprint bits.  Pure aggregate composition."""
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """60-bit SimHash over word tokens: per token one engine-portable
+    md5-derived hash (md5_hash60), sum of bit votes, sign -> fingerprint
+    bits.  Pure aggregate composition, fully SQL-mirrorable."""
     toks = _spread(docs).select("doc_id", F.explode(F.split(_norm_text(), " ")).alias("tok"))
-    h = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    h = toks.select("doc_id", md5_hash60(F.col("tok")).alias("h"))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
@@ -189,26 +255,84 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def lsh_plane_ints(dim: int, n_planes: int, seed: int, scale: int = 1000) -> list[list[int]]:
+    """Deterministic integer-milli hyperplanes.  Integer weights (and the
+    integer-quantized vectors below) make the sign-bit computation EXACT and
+    therefore identical across engines -- every product is < 2^53, so even
+    an engine that sums in doubles gets the bit-exact integer."""
+    rng = np.random.RandomState(seed)
+    return [[int(round(x * scale)) for x in row] for row in rng.randn(n_planes, dim)]
+
+
+def _int_sign_bucket(vq: F.Column, planes: list[list[int]]) -> F.Column:
+    """Packed sign bits of integer dot products: bit i = (vq . plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(int(x)).cast("long") for x in p])
+        d = F.aggregate(F.zip_with(vq, plane, lambda x, y: x * y),
+                        F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
 def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
-                          max_pairs_side: int = 10000) -> DataFrame:
+                          method: str = "lsh", n_planes: int = 3, n_tables: int = 8,
+                          seed: int = 7, quant: int = 100000, dim: int = 64) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold.
 
-    Brute-force block here (fine to ~10^4 vectors per group); the 100 TB
-    path buckets by LSH sign-bits first (see similarity.lsh_ann) so each
-    bucket is small enough for this kernel.
+    ``method='lsh'`` (the 100 TB path): multi-table random-hyperplane
+    sign-bit buckets -- candidates only meet bucket-mates via a plain
+    EQUI-join on (table, bucket), exact cosine reranks inside the candidate
+    set.  Cost is O(sum of bucket^2) instead of O(n^2); recall is tunable
+    via (n_planes, n_tables) and is ~0.85 at cos 0.3 / ~1.0 at cos 0.95
+    with the defaults.  Bucketing is integer-exact (lsh_plane_ints) so a
+    SQL oracle reproduces the same candidate set bit-for-bit.
+
+    ``method='brute'``: the exhaustive all-pairs nested-loop -- recall 1.0,
+    O(n^2), acceptable only for small inputs or as a recall audit.
     """
     e = embeddings.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     norm = e.select(
         "vec_id", "v",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias("nrm"),
     )
-    a, b = norm.alias("a"), norm.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
+    dot_ab = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                         F.lit(0.0), lambda acc, x: acc + x)
+    if method == "brute":
+        a, b = norm.alias("a"), norm.alias("b")
+        cand = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-            F.floor(F.lit(1000) * dot / (F.col("a.nrm") * F.col("b.nrm"))).cast("int").alias("cos_milli"),
+            F.col("a.v").alias("va"), F.col("a.nrm").alias("na"),
+            F.col("b.v").alias("vb"), F.col("b.nrm").alias("nb"),
+        )
+    else:
+        q = norm.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long")))
+        tables = []
+        for t in range(n_tables):
+            planes = lsh_plane_ints(dim, n_planes, seed + t)
+            tables.append(q.select(
+                "vec_id", "v", "nrm", F.lit(t).alias("tbl"),
+                _int_sign_bucket(F.col("vq"), planes).alias("bucket"),
+            ))
+        bucketed = tables[0]
+        for t in tables[1:]:
+            bucketed = bucketed.unionByName(t)
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cand = (
+            a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(
+                F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.col("a.v").alias("va"), F.col("a.nrm").alias("na"),
+                F.col("b.v").alias("vb"), F.col("b.nrm").alias("nb"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+    return (
+        cand.select(
+            "vec_a", "vec_b",
+            F.floor(F.lit(1000) * dot_ab / (F.col("na") * F.col("nb"))).cast("int").alias("cos_milli"),
         )
         .filter(F.col("cos_milli") >= min_cos_milli)
     )

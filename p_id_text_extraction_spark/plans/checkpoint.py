@@ -89,6 +89,7 @@ def run_with_resume(
     n_buckets: int = 16,
     bucket_filter: list[int] | None = None,
     write_partitions: int | None = None,
+    strategy: str = "relational",
 ) -> dict:
     """Run the pipeline over not-yet-completed buckets; append manifest rows.
 
@@ -97,6 +98,13 @@ def run_with_resume(
     the write (default: session shuffle partitions) -- the write fans out
     over (bucket_id, conv_id), NOT just bucket_id, so output parallelism
     tracks the cluster instead of collapsing to n_buckets tasks.
+
+    ``strategy``: 'relational' (default -- the declarative window/aggregate
+    plan, with observe()-based candidate lineage) or 'fused' (the map-only
+    kernel: fastest and shuffle-free, but candidate counts never
+    materialize, so classifier_drop_rate is recorded as NaN).
+    Both strategies produce byte-identical spans (tests/test_resume.py).
+
     Returns the counter dict for the run.
     """
     fingerprint = job_fingerprint(cfg, n_buckets)
@@ -113,10 +121,16 @@ def run_with_resume(
     # re-derive the bucket on the output side: it is a deterministic
     # function of conv_id, no need to thread it through the pipeline
     from pyspark.sql import Observation
-    obs = Observation("lineage")
+    if strategy == "fused":
+        from p_id_text_extraction_spark.plans.pipeline import extract_pipeline_fused
+        obs = None
+        base = extract_pipeline_fused(todo.drop("bucket_id"), cfg)
+    else:
+        obs = Observation("lineage")
+        base = extract_pipeline(todo.drop("bucket_id"), cfg, observation=obs)
     n_write = write_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     spans = (
-        extract_pipeline(todo.drop("bucket_id"), cfg, observation=obs)
+        base
         .withColumn("bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
         .withColumn("job_fingerprint", F.lit(fingerprint))
         .repartition(n_write, "bucket_id", "conv_id")
@@ -142,12 +156,15 @@ def run_with_resume(
     finally:
         spans.unpersist()
     try:
-        m = dict(obs.get)
+        m = dict(obs.get) if obs is not None else {}
     except Exception:  # noqa: BLE001 - zero-task plans never emit the observed row
         m = {}
     candidates_in = int(m.get("candidates_in") or 0)
     spans_total = sum(per_bucket.values())
-    drop_rate = (candidates_in - spans_total) / candidates_in if candidates_in else 0.0
+    if obs is None:
+        drop_rate = float("nan")   # fused kernel never materializes candidates
+    else:
+        drop_rate = (candidates_in - spans_total) / candidates_in if candidates_in else 0.0
 
     turns_in = {r.bucket_id: r.cnt
                 for r in todo.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from p_id_text_extraction_spark.config import DEFAULT_CONFIG
 from p_id_text_extraction_spark.operators import dedup, multimodal, similarity, textstats
-from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
+from p_id_text_extraction_spark.plans.pipeline import extract_pipeline, extract_pipeline_fused
 from p_id_text_extraction_spark.sources.transcripts import derive_transcripts_from_documents
 
 _B = DEFAULT_CONFIG.block_size      # 256
@@ -46,6 +46,15 @@ def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-equality is covered by tests/test_pipeline_golden.py."""
     turns = derive_transcripts_from_documents(spark, sf_dir)
     return extract_pipeline(turns).withColumn("provenance", F.array_join("provenance", ","))
+
+
+def q_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED map-only strategy (zero-shuffle mapInPandas) over the same
+    derived transcripts.  Rows-only driver check; byte-equality vs the
+    oracle AND vs the relational strategy is pinned by
+    tests/test_pipeline_golden.py."""
+    turns = derive_transcripts_from_documents(spark, sf_dir)
+    return extract_pipeline_fused(turns).withColumn("provenance", F.array_join("provenance", ","))
 
 
 def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,13 +546,13 @@ _NGRAM_JACCARD_SQL = """
                     ELSE [] END AS g
         FROM toks
     ),
-    sh AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+    sh AS (SELECT doc_id, CAST(('0x' || substring(md5(unnest(g)), 1, 15)) AS BIGINT) AS sh FROM grams),
     sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-    freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000),
-    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+    freq AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 1000),
+    shc AS (SELECT sh.doc_id, sh.sh FROM sh JOIN freq USING (sh)),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -557,20 +566,47 @@ _NGRAM_JACCARD_SQL = """
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.30 on the synthetic
-    random vectors; production threshold would be ~0.95)."""
+    random vectors; production threshold would be ~0.95) via the
+    LSH-bucketed scale path: equi-join on (table, sign-bucket), exact
+    cosine rerank inside buckets -- no nested-loop cross join anywhere."""
     return dedup.embedding_cosine_dups(_t(spark, sf_dir, "embeddings"), min_cos_milli=300)
 
 
-_EMB_COS_DUP_SQL = """
+def _emb_cos_dup_sql(min_cos_milli: int = 300, n_planes: int = 3, n_tables: int = 8,
+                     seed: int = 7, quant: int = 100000, dim: int = 64) -> str:
+    """DuckDB twin of the LSH-bucketed embedding dedup.  The hyperplane
+    integer weights are the SAME literals dedup.lsh_plane_ints mints for
+    Spark, and the sign bits come from exact integer dot products (every
+    term < 2^53, so DuckDB's double accumulation is still exact)."""
+    tables = []
+    for t in range(n_tables):
+        planes = dedup.lsh_plane_ints(dim, n_planes, seed + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(vq, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        tables.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM q")
+    union = "\n        UNION ALL ".join(tables)
+    return f"""
     WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
     ),
-    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(floor(1000 * list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS INT) AS cos_milli
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE CAST(floor(1000 * list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS INT) >= 300
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * {quant}) AS BIGINT)) AS vq FROM n),
+    bkt AS ({union}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bkt a JOIN bkt b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(floor(1000 * list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)) AS INT) AS cos_milli
+    FROM cand JOIN n na ON na.vec_id = vec_a JOIN n nb ON nb.vec_id = vec_b
+    WHERE CAST(floor(1000 * list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)) AS INT) >= {min_cos_milli}
 """
+
+
+_EMB_COS_DUP_SQL = _emb_cos_dup_sql()
 
 
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,18 +707,136 @@ _CLUSTER_HIST_SQL = f"""
 """
 
 
-# rows-only (non-SQL-expressible: xxhash64 sketches, LSH planes, pandas UDFs)
-
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH candidates + exact-Jaccard verification; fully
+    oracle-checked since the hashes are md5-derived (dedup.md5_hash60)."""
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_lsh_sql(n: int = 3, num_hashes: int = 32, bands: int = 8,
+                     seed: int = 11, min_jaccard_milli: int = 100) -> str:
+    """DuckDB twin of the verified MinHash-LSH dedup: identical md5-60bit
+    base hash, identical mixing coefficient literals (dedup.minhash_coeffs),
+    identical banding, identical exact-Jaccard recheck."""
+    coeffs = dedup.minhash_coeffs(num_hashes, seed)
+    p = dedup.MINHASH_P
+    rows = num_hashes // bands
+    mins = ",\n               ".join(
+        f"min(({a} * hh + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coeffs))
+    band_rows = []
+    for bi in range(bands):
+        cols = ", ".join(f"s{bi * rows + j}" for j in range(rows))
+        band_rows.append(f"SELECT doc_id, {bi} AS band, concat_ws(',', {cols}) AS bucket FROM sig")
+    banded = "\n        UNION ALL ".join(band_rows)
+    matches = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+                         for i in range(num_hashes))
+    jac = ("floor(1000 * len(list_intersect(ga.g, gb.g)) "
+           "/ (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))))")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= {n}
+                    THEN list_distinct(list_transform(generate_series(1, len(t) - {n - 1}),
+                                                      i -> array_to_string(list_slice(t, i, i + {n - 1}), ' ')))
+                    ELSE [] END AS g
+        FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
+    hs AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {p} AS hh
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hs GROUP BY doc_id
+    ),
+    banded AS ({banded}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT doc_a, doc_b,
+               CAST(floor(1000 * ({matches}) / {num_hashes}) AS INT) AS est_jaccard_milli
+        FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard_milli,
+           CAST({jac} AS INT) AS jaccard_milli
+    FROM est e JOIN grams ga ON ga.doc_id = e.doc_a JOIN grams gb ON gb.doc_id = e.doc_b
+    WHERE CAST({jac} AS INT) >= {min_jaccard_milli}
+"""
+
+
+_MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+def _simhash_sql(bits: int = 60) -> str:
+    """DuckDB twin of the 60-bit SimHash (md5-derived token hash)."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(bits))
+    pack = "\n           | ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
+        for i in range(bits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ')) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+    v AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ({pack}) AS simhash
+    FROM v
+"""
+
+
+_SIMHASH_SQL = _simhash_sql()
+
+
+# rows-only (non-SQL-expressible: LSH ANN rerank windows over float scores)
+
+
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH ANN path against exhaustive top-k: per
+    query, how many of the true top-k neighbors the bucketed search found.
+    This is the quality pin for the approximate path -- the driver's
+    rows-only check records it every round (VERDICT r1 item 7); the
+    exhaustive side is O(n*q), so this query is a small-sample audit, not a
+    production path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 5
+    truth = similarity.brute_force_topk(emb, k=k).select("query_id", "neighbor_id")
+    approx = similarity.lsh_ann_topk(emb, k=k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.lit(k).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
+            F.floor(F.lit(1000) * F.sum(F.coalesce("hit", F.lit(0))) / F.lit(k))
+             .cast("int").alias("recall_milli"),
+        )
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +881,7 @@ _MULTIMODAL_SQL = """
 
 QUERIES = {
     "extract_full": q_extract_full,
+    "extract_fused": q_extract_fused,
     "extract_segment_blocks": q_extract_segment_blocks,
     "extract_pipeline_core": q_extract_pipeline_core,
     "agg_pricing_summary": q_agg_pricing_summary,
@@ -753,6 +908,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_lsh_ann": q_sim_lsh_ann,
+    "sim_ann_recall": q_sim_ann_recall,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -781,4 +937,6 @@ ORACLES = {
     "dedup_embedding_cosine": _EMB_COS_DUP_SQL,
     "sim_topk_cosine": _SIM_TOPK_SQL,
     "multimodal_features": _MULTIMODAL_SQL,
+    "dedup_minhash_lsh": _MINHASH_LSH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
 }

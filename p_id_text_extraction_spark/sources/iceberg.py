@@ -50,3 +50,15 @@ def append_spans(df: DataFrame, table_or_path: str) -> None:
         df.writeTo(table_or_path).append()
     else:
         df.write.mode("append").parquet(table_or_path)
+
+
+def overwrite_span_partitions(df: DataFrame, table_or_path: str) -> None:
+    """Idempotent bucket-retry sink: Iceberg ``overwritePartitions()`` (the
+    native equivalent of plans/checkpoint.py's dynamic partition overwrite)
+    or the parquet dynamic-overwrite fallback in the sandbox."""
+    if has_iceberg(df.sparkSession) and "/" not in table_or_path:
+        df.writeTo(table_or_path).overwritePartitions()
+    else:
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").parquet(table_or_path)

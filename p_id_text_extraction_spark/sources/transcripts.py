@@ -181,7 +181,10 @@ def distributed_transcripts(spark: SparkSession, n_convs: int, max_turns: int = 
                 rows.extend(gen_conv(f"conv-{int(i):06d}", max_turns))
             yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
-    return spark.range(n_convs).repartition(64).mapInPandas(kernel, TRANSCRIPT_SCHEMA)
+    # 256 output files: at 32 cores that is 8 task waves instead of 2 --
+    # fine-grained tasks smooth the zipf-sized stragglers at the tail of
+    # the stage (the map-only pipeline's wall time is its slowest wave)
+    return spark.range(n_convs).repartition(256).mapInPandas(kernel, TRANSCRIPT_SCHEMA)
 
 
 def transcripts_df(spark: SparkSession, turns: list[dict]) -> DataFrame:

@@ -66,6 +66,18 @@ def test_fingerprint_isolation(spark, turns_df, tmp_path):
     assert r["buckets_completed"] == 4  # nothing skipped
 
 
+def test_fused_strategy_resume_identical(spark, turns_df, tmp_path):
+    """The fused map-only strategy must write byte-identical spans through
+    the same resume protocol."""
+    run_with_resume(spark, turns_df, str(tmp_path / "or"), str(tmp_path / "mr"), n_buckets=8)
+    run_with_resume(spark, turns_df, str(tmp_path / "of"), str(tmp_path / "mf"),
+                    n_buckets=8, strategy="fused")
+    assert _rows(spark, str(tmp_path / "of")) == _rows(spark, str(tmp_path / "or"))
+    import math
+    rows = spark.read.parquet(str(tmp_path / "mf")).collect()
+    assert all(math.isnan(r.classifier_drop_rate) for r in rows)
+
+
 def test_zero_span_todo_bucket_cleared(spark, tmp_path):
     """A todo bucket that yields zero spans must still clear its partition:
     dynamic overwrite alone rewrites nothing for it, silently keeping rows

