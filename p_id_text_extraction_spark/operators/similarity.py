@@ -16,7 +16,6 @@ matches despite cross-engine float-summation-order differences.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,38 +54,28 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> 
     )
 
 
-def hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
-    """Deterministic random hyperplanes (driver-side, broadcast as literals)."""
-    rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).astype(np.float64).tolist()
-
-
-def _bucket_key(v: F.Column, planes: list[list[float]]) -> F.Column:
-    """Sign-bit bucket id for one LSH table: bit i = sign(v . plane_i)."""
-    key = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        key = key.bitwiseXOR(F.shiftleft(F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i))
-    return key
-
-
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
                  n_planes: int = 8, n_tables: int = 4, seed: int = 42,
-                 dim: int = 64) -> DataFrame:
+                 dim: int = 64, quant: int = 100000) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH + exact rerank.
 
     Each vector lands in one bucket per table; query candidates = union of
     its buckets across tables.  Equality join on (table, bucket) -- a plain
     shuffle-hash join that scales linearly; brute-force cosine only inside
-    the candidate set.
+    the candidate set.  Buckets come from INTEGER-exact sign bits
+    (dedup.lsh_plane_ints: quantized vector x integer-milli plane, every
+    product < 2^53), so a DuckDB oracle reproduces the same candidate set
+    bit-for-bit and the whole approximate path is value-hash-checkable.
     """
+    from p_id_text_extraction_spark.operators.dedup import _int_sign_bucket, lsh_plane_ints
     corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    q = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long")))
     tables = []
     for t in range(n_tables):
-        planes = hyperplanes(dim, n_planes, seed + t)
-        tables.append(corpus.select(
-            "vec_id", "v", "nrm", F.lit(t).alias("tbl"), _bucket_key(F.col("v"), planes).alias("bucket"),
+        planes = lsh_plane_ints(dim, n_planes, seed + t)
+        tables.append(q.select(
+            "vec_id", "v", "nrm", F.lit(t).alias("tbl"),
+            _int_sign_bucket(F.col("vq"), planes).alias("bucket"),
         ))
     bucketed = tables[0]
     for t in tables[1:]:

@@ -808,11 +808,58 @@ def _simhash_sql(bits: int = 60) -> str:
 _SIMHASH_SQL = _simhash_sql()
 
 
-# rows-only (non-SQL-expressible: LSH ANN rerank windows over float scores)
-
-
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _ann_bucket_union_sql(n_queries: int = 10, n_planes: int = 8, n_tables: int = 4,
+                          seed: int = 42, quant: int = 100000, dim: int = 64) -> str:
+    """Shared CTE block for the ANN twins: norms, integer-quantized vectors,
+    and the per-table sign-bucket union with the SAME plane literals Spark
+    uses (dedup.lsh_plane_ints)."""
+    tables = []
+    for t in range(n_tables):
+        planes = dedup.lsh_plane_ints(dim, n_planes, seed + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(vq, {p}) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        tables.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM qv")
+    union = "\n        UNION ALL ".join(tables)
+    return f"""
+    e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    qv AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * {quant}) AS BIGINT)) AS vq FROM n),
+    bkt AS ({union}),
+    cand AS (
+        SELECT DISTINCT qs.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM bkt b JOIN bkt qs
+          ON b.tbl = qs.tbl AND b.bucket = qs.bucket AND b.vec_id != qs.vec_id
+        WHERE qs.vec_id < {n_queries}
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(floor(100000 * list_dot_product(nq.v, nn.v) / (nq.nrm * nn.nrm)) AS BIGINT) AS cos_e5
+        FROM cand JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_e5,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_e5 DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )"""
+
+
+def _sim_lsh_ann_sql(k: int = 5) -> str:
+    return f"""
+    WITH {_ann_bucket_union_sql()}
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cos_e5
+    FROM ranked WHERE rnk <= {k}
+"""
+
+
+_SIM_LSH_ANN_SQL = _sim_lsh_ann_sql()
 
 
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,6 +884,35 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("int").alias("recall_milli"),
         )
     )
+
+
+def _sim_ann_recall_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+    WITH {_ann_bucket_union_sql()},
+    bf AS (
+        SELECT nq.vec_id AS query_id, nn.vec_id AS neighbor_id,
+               CAST(floor(100000 * list_dot_product(nq.v, nn.v) / (nq.nrm * nn.nrm)) AS BIGINT) AS cos_e5
+        FROM n nq JOIN n nn ON nn.vec_id != nq.vec_id
+        WHERE nq.vec_id < {n_queries}
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos_e5 DESC, neighbor_id ASC) AS rnk
+            FROM bf
+        ) WHERE rnk <= {k}
+    ),
+    approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {k})
+    SELECT t.query_id, CAST({k} AS INT) AS k,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST(floor(1000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / {k}) AS INT) AS recall_milli
+    FROM truth t LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+"""
+
+
+_SIM_ANN_RECALL_SQL = _sim_ann_recall_sql()
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,4 +1015,6 @@ ORACLES = {
     "multimodal_features": _MULTIMODAL_SQL,
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
+    "sim_lsh_ann": _SIM_LSH_ANN_SQL,
+    "sim_ann_recall": _SIM_ANN_RECALL_SQL,
 }
