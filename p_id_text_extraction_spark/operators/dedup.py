@@ -255,6 +255,52 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over near-duplicate pairs: canonical-document
+    assignment (the keep-one side of dedup -- every doc maps to the MIN
+    doc_id reachable through dup edges).
+
+    Iterative min-label propagation: each round every vertex takes
+    min(own label, neighbors' labels); converges in <= graph-diameter
+    rounds, with a driver-side early stop when no label changes.  Each
+    round is one shuffle on the (small -- dup pairs only, not the corpus)
+    edge set; lineage is cut with localCheckpoint so the plan doesn't grow
+    exponentially across iterations -- the standard Spark shape for
+    iterative graph algorithms.  Dup components are near-cliques in
+    practice, so diameter is tiny; ``max_iter`` is a safety bound, and the
+    DuckDB oracle computes the TRUE transitive closure, so a too-small
+    bound fails loudly as a hash mismatch instead of silently.
+
+    Input: (doc_a, doc_b) pairs.  Output: (doc_id, component_id,
+    component_size), component_id = min doc_id of the component.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).distinct().persist()
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+               .groupBy(F.col("dst").alias("doc_id"))
+               .agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+                   .filter(F.col("label") != F.col("old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return (labels.join(sizes, "label")
+            .select("doc_id", F.col("label").alias("component_id"), "component_size"))
+
+
 def lsh_plane_ints(dim: int, n_planes: int, seed: int, scale: int = 1000) -> list[list[int]]:
     """Deterministic integer-milli hyperplanes.  Integer weights (and the
     integer-quantized vectors below) make the sign-bit computation EXACT and

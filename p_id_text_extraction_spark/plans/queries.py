@@ -564,6 +564,36 @@ _NGRAM_JACCARD_SQL = """
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document assignment: connected components over the n-gram
+    near-dup pairs (iterative min-label propagation; the oracle computes
+    the exact transitive closure with a recursive CTE, so a truncated
+    iteration bound would fail the hash, not pass silently)."""
+    return dedup.dup_components(dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents")))
+
+
+_DEDUP_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+        SELECT doc_id, doc_id FROM verts
+        UNION
+        SELECT e.src AS doc_id, r.label
+        FROM reach r JOIN edges e ON e.dst = r.doc_id
+    ),
+    comp AS (SELECT doc_id, min(label) AS component_id FROM reach GROUP BY doc_id)
+    SELECT c.doc_id, c.component_id, s.component_size
+    FROM comp c JOIN (
+        SELECT component_id, COUNT(*) AS component_size FROM comp GROUP BY component_id
+    ) s USING (component_id)
+"""
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.30 on the synthetic
     random vectors; production threshold would be ~0.95) via the
@@ -979,6 +1009,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_cosine": q_sim_topk_cosine,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1017,4 +1048,5 @@ ORACLES = {
     "dedup_simhash": _SIMHASH_SQL,
     "sim_lsh_ann": _SIM_LSH_ANN_SQL,
     "sim_ann_recall": _SIM_ANN_RECALL_SQL,
+    "dedup_components": _DEDUP_COMPONENTS_SQL,
 }

@@ -40,6 +40,16 @@ def test_ngram_jaccard_ranks_near_dups(spark, docs_df):
     assert (3, 4) not in pairs
 
 
+def test_dup_components_chain_and_island(spark):
+    """A chain (10-20-30) must collapse to one component even though 10 and
+    30 never share an edge; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (50, 60)], "doc_a long, doc_b long")
+    got = {r.doc_id: (r.component_id, r.component_size)
+           for r in dedup.dup_components(pairs).collect()}
+    assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3), 50: (50, 2), 60: (50, 2)}
+
+
 def test_minhash_identical_signatures(spark, docs_df):
     sigs = {r.doc_id: r.sig for r in dedup.minhash_signatures(docs_df).collect()}
     assert sigs[0] == sigs[1]
