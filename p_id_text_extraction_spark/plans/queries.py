@@ -945,6 +945,62 @@ def _sim_ann_recall_sql(k: int = 5, n_queries: int = 10) -> str:
 _SIM_ANN_RECALL_SQL = _sim_ann_recall_sql()
 
 
+def _media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic media-table mapping over documents (SQL-mirrorable)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image").when(F.col("doc_id") % 3 == 1, "audio")
+         .otherwise("video").alias("media_type"),
+        (F.col("doc_id") % 1920).cast("int").alias("width"),
+        (F.col("doc_id") % 1080).cast("int").alias("height"),
+        (F.col("doc_id") % 60000).cast("int").alias("duration_ms"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+_MEDIA_SQL = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(doc_id % 1920 AS INT) AS width,
+               CAST(doc_id % 1080 AS INT) AS height,
+               CAST(doc_id % 60000 AS INT) AS duration_ms
+        FROM documents
+"""
+
+
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: sequence+explode over duration metadata,
+    zero payload bytes touched (the decode itself is the stubbed step)."""
+    media = _media_from_docs(_t(spark, sf_dir, "documents"))
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+_MULTIMODAL_FRAME_SQL = f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id,
+           unnest(generate_series(0, greatest(duration_ms - 1, 0), 1000)) AS frame_ts_ms
+    FROM media WHERE media_type = 'video'
+"""
+
+
+def q_multimodal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only resolution gate: prunes image payloads at the scan
+    without touching blob bytes -- the whole point of typed metadata
+    columns next to opaque binaries."""
+    media = _media_from_docs(_t(spark, sf_dir, "documents"))
+    return multimodal.resolution_gate(media).select("media_id", "media_type", "width", "height")
+
+
+_MULTIMODAL_GATE_SQL = f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, media_type, width, height
+    FROM media
+    WHERE media_type != 'image' OR (width >= 64 AND height >= 64)
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: documents bytes stand in for media blobs.
 
@@ -954,16 +1010,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte) so the output is a flat hashable CSV the driver can value-check
     against a DuckDB twin -- the recognize-stage 'records are always
     checkable' rule (text_recognition.py:175-189)."""
-    docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(F.col("doc_id") % 3 == 0, "image").when(F.col("doc_id") % 3 == 1, "audio")
-         .otherwise("video").alias("media_type"),
-        (F.col("doc_id") % 1920).cast("int").alias("width"),
-        (F.col("doc_id") % 1080).cast("int").alias("height"),
-        (F.col("doc_id") % 60000).cast("int").alias("duration_ms"),
-        F.encode("text", "utf-8").alias("payload"),
-    )
+    media = _media_from_docs(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, fake=True)
     byte_of = lambda x: F.round(x.cast("double") * 127.5 + 127.5).cast("int").cast("string")  # noqa: E731
     return feats.select(
@@ -1017,6 +1064,8 @@ QUERIES = {
     "sim_lsh_ann": q_sim_lsh_ann,
     "sim_ann_recall": q_sim_ann_recall,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frame_plan": q_multimodal_frame_plan,
+    "multimodal_gate": q_multimodal_gate,
 }
 
 ORACLES = {
@@ -1049,4 +1098,6 @@ ORACLES = {
     "sim_lsh_ann": _SIM_LSH_ANN_SQL,
     "sim_ann_recall": _SIM_ANN_RECALL_SQL,
     "dedup_components": _DEDUP_COMPONENTS_SQL,
+    "multimodal_frame_plan": _MULTIMODAL_FRAME_SQL,
+    "multimodal_gate": _MULTIMODAL_GATE_SQL,
 }

@@ -24,6 +24,7 @@ def extract_stream(
     checkpoint_dir: str,
     cfg: ExtractConfig = DEFAULT_CONFIG,
     trigger_available_now: bool = True,
+    strategy: str = "relational",
 ) -> StreamingQuery:
     """Run the extraction pipeline over a streaming transcripts source.
 
@@ -38,9 +39,13 @@ def extract_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
+
+        from p_id_text_extraction_spark.plans.pipeline import extract_pipeline_fused
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (extract_pipeline(batch_df, cfg)
+        plan = (extract_pipeline_fused(batch_df, cfg) if strategy == "fused"
+                else extract_pipeline(batch_df, cfg))
+        (plan
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("overwrite").partitionBy("batch_id").parquet(output_dir))
 

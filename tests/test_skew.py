@@ -57,6 +57,22 @@ def test_skewed_fixture_byte_equality(spark, skew_turns):
     assert got == want
 
 
+def test_skewed_fixture_fused_byte_equality(spark, skew_turns):
+    """The fused strategy on the skewed fixture: identical bytes, and the
+    hot conversation costs nothing special -- map-only, per-turn work."""
+    from p_id_text_extraction_spark.plans.pipeline import extract_pipeline_fused
+    got = [
+        (r.conv_id, r.turn_idx, r.span_rank, r.start, r.end, r.text, r.method)
+        for r in extract_pipeline_fused(transcripts_df(spark, skew_turns))
+        .orderBy("conv_id", "turn_idx", "span_rank").collect()
+    ]
+    want = [
+        (r["conv_id"], r["turn_idx"], r["span_rank"], r["start"], r["end"], r["text"], r["method"])
+        for r in extract_table(skew_turns)
+    ]
+    assert got == want
+
+
 def test_mega_turn_bounded_blocks(spark, skew_turns):
     """A 20KB turn segments into ~n/step blocks -- per-row work stays
     bounded however large the turn (sahi_slicer W1 analogue)."""

@@ -1,11 +1,14 @@
-"""Streaming wrapper test: file-source micro-batches through foreachBatch
-produce the same spans as the batch pipeline."""
+"""Streaming tests: foreachBatch extraction == batch pipeline; watermarked
+stateful rollup emits finalized windows and drops late data."""
 
 from __future__ import annotations
+
+from datetime import datetime
 
 from p_id_text_extraction_spark.oracle.pipeline import extract_table
 from p_id_text_extraction_spark.sources.transcripts import TRANSCRIPT_SCHEMA, gen_turns, transcripts_df
 from p_id_text_extraction_spark.streaming.extract_stream import extract_stream
+from p_id_text_extraction_spark.streaming.rollup_stream import hourly_rollup_stream
 
 
 def test_stream_matches_oracle(spark, tmp_path):
@@ -38,3 +41,48 @@ def test_stream_matches_oracle(spark, tmp_path):
         .orderBy("conv_id", "turn_idx", "span_rank").collect()
     ]
     assert got2 == want
+
+
+EVENTS_SCHEMA = "ts timestamp, event_type string, value double"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(datetime(2026, 1, 1, h, m), t, v) for h, m, t, v in rows], EVENTS_SCHEMA)
+
+
+def test_watermarked_rollup_emits_closed_windows_and_drops_late(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # wave 1: events in hours 10 and 11, plus a max-ts at 12:00 that pushes
+    # the watermark (30 min delay) to 11:30 -- closing hours 10 only... and
+    # hour-11 window [11:00,12:00) stays open (end 12:00 > watermark 11:30)
+    _ev(spark, [
+        (10, 5, "click", 1.25),
+        (10, 40, "click", 2.50),
+        (10, 50, "view", 3.00),
+        (11, 10, "click", 4.00),
+        (12, 0, "tick", 0.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    q = hourly_rollup_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    got1 = {(r.hour.hour, r.event_type): (r.n_events, r.value_cents)
+            for r in spark.read.parquet(out).collect()}
+    assert got1 == {(10, "click"): (2, 375), (10, "view"): (1, 300)}
+
+    # wave 2: a LATE hour-10 event (behind the 11:30 watermark -> dropped)
+    # plus a 13:30 tick that closes hour 11 and hour 12
+    _ev(spark, [
+        (10, 20, "click", 99.0),      # late: must NOT appear anywhere
+        (13, 30, "tick", 0.0),
+    ]).coalesce(1).write.mode("append").parquet(src)
+    q2 = hourly_rollup_stream(spark.readStream.schema(EVENTS_SCHEMA).parquet(src), out, ckpt)
+    q2.awaitTermination(120)
+
+    got2 = {(r.hour.hour, r.event_type): (r.n_events, r.value_cents)
+            for r in spark.read.parquet(out).collect()}
+    assert got2[(10, "click")] == (2, 375)          # late row dropped
+    assert got2[(11, "click")] == (1, 400)          # hour 11 closed by wave 2
+    assert got2[(12, "tick")] == (1, 0)
