@@ -75,3 +75,28 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     (rolling-hash analogue; exact-dedup key)."""
     normalized = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+def corpus_clean(docs: DataFrame, min_quality_milli: int = 200,
+                 min_tokens: int = 5, langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """The canonical training-data curation pass, composed from the ops
+    above: exact-dedup to canonical docs (min doc_id per fingerprint
+    group), then gate on quality score, token count, and language.
+
+    Scale shape: one hash-agg on the fingerprint + equi-joins on doc_id;
+    the density/lang predicates are codegen scans.  Emits the kept rows as
+    (doc_id, pred_lang, quality_milli, n_tokens)."""
+    canon = (fingerprint(docs).groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id"))
+    return (
+        canon
+        .join(quality_score(docs).select("doc_id", "quality_milli"), "doc_id")
+        .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+        .join(token_count(docs).select("doc_id", "n_tokens"), "doc_id")
+        .filter(
+            (F.col("quality_milli") >= min_quality_milli)
+            & (F.col("n_tokens") >= min_tokens)
+            & F.col("pred_lang").isin(*langs)
+        )
+        .select("doc_id", "pred_lang", "quality_milli", "n_tokens")
+    )

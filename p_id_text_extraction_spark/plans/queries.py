@@ -518,6 +518,46 @@ _FINGERPRINT_SQL = """
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: exact-dedup to canonical docs, then
+    quality / token-count / language gates -- the composition a training
+    corpus actually runs, all codegen + one fingerprint hash-agg."""
+    return textstats.corpus_clean(_t(spark, sf_dir, "documents"))
+
+
+_CORPUS_CLEAN_SQL = """
+    WITH fp AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+    q AS (
+        SELECT doc_id,
+               CAST(floor(1000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text)) AS INT)
+                 - CAST(floor(500 * length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)) AS INT) AS quality_milli
+        FROM documents WHERE length(text) > 0
+    ),
+    l AS (
+        SELECT doc_id,
+               CASE WHEN regexp_matches(lower(text), '\\b(the|and|of|to)\\b') THEN 'en'
+                    WHEN regexp_matches(lower(text), '\\b(el|la|de|que)\\b') THEN 'es'
+                    WHEN regexp_matches(lower(text), '\\b(le|la|et|les)\\b') THEN 'fr'
+                    WHEN regexp_matches(lower(text), '\\b(der|die|und|das)\\b') THEN 'de'
+                    ELSE 'unk' END AS pred_lang
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(string_split_regex(trim(text), ' +')) AS INT) END AS n_tokens
+        FROM documents
+    )
+    SELECT c.doc_id, l.pred_lang, q.quality_milli, t.n_tokens
+    FROM canon c JOIN q USING (doc_id) JOIN l USING (doc_id) JOIN t USING (doc_id)
+    WHERE q.quality_milli >= 200 AND t.n_tokens >= 5 AND l.pred_lang IN ('en')
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1054,6 +1094,7 @@ QUERIES = {
     "doc_quality_score": q_doc_quality_score,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
@@ -1100,4 +1141,5 @@ ORACLES = {
     "dedup_components": _DEDUP_COMPONENTS_SQL,
     "multimodal_frame_plan": _MULTIMODAL_FRAME_SQL,
     "multimodal_gate": _MULTIMODAL_GATE_SQL,
+    "corpus_clean": _CORPUS_CLEAN_SQL,
 }

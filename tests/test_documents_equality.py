@@ -5,7 +5,7 @@ the equality evidence lives here) -- plus unicode offset consistency."""
 from __future__ import annotations
 
 from p_id_text_extraction_spark.oracle.pipeline import extract_table
-from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
+from p_id_text_extraction_spark.plans.pipeline import extract_pipeline, extract_pipeline_fused
 from p_id_text_extraction_spark.sources.transcripts import derive_transcripts_from_documents, transcripts_df
 
 KEY = ["conv_id", "turn_idx", "span_rank"]
@@ -50,3 +50,11 @@ def test_unicode_offsets_consistent(spark):
     ]
     assert got == want
     assert any("😀" in t[5] for t in got)
+
+    # the fused kernel indexes in Python code points end-to-end; its output
+    # must carry the identical supplementary-plane offsets
+    fused = [
+        (r.conv_id, r.turn_idx, r.span_rank, r.start, r.end, r.text)
+        for r in extract_pipeline_fused(transcripts_df(spark, turns)).orderBy(*KEY).collect()
+    ]
+    assert fused == want
