@@ -31,6 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twins (omitted for non-SQL-expressible ops:
-    pandas-UDF extraction kernels, xxhash64 sketches, LSH ANN, multimodal)."""
+    """DuckDB-runnable ANSI-SQL twins.  Omitted ONLY for the two pandas-UDF
+    extraction strategies (extract_full / extract_fused), whose byte-level
+    equality is pinned by the golden tests instead; every other query --
+    including the MinHash/SimHash/LSH sketches, via engine-portable
+    md5-derived hashing -- is value-hash-checked."""
     return dict(ORACLES)

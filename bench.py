@@ -149,26 +149,28 @@ def _run_pinned(mode: str, cores: int, path: str) -> dict:
     return json.loads(line)
 
 
-def _sweep(mode: str, levels: list[int], path: str) -> dict:
-    """Run every level, SWEEPS times, INTERLEAVED (A B C .. A B C ..): this
-    box drifts 1.5-2x over minutes (shared host), so measuring level A
-    entirely inside a slow window and level B inside a fast one would
-    corrupt the ratio; interleaving + min-of-all-runs makes each level's
+def _sweep(jobs: list[tuple[str, int]], path: str) -> dict:
+    """Run every (mode, cores) job, SWEEPS times, INTERLEAVED
+    (A B C .. A B C ..): this box drifts 1.5-2x over minutes (shared
+    host), so measuring job A entirely inside a slow window and job B
+    inside a fast one would corrupt every ratio -- including
+    engine-vs-control; interleaving + min-of-all-runs makes each job's
     number its best uncontended capability."""
-    acc: dict[int, dict] = {}
+    acc: dict[tuple[str, int], dict] = {}
     for _ in range(SWEEPS):
-        for cores in levels:
+        for mode, cores in jobs:
             r = _run_pinned(mode, cores, path)
-            a = acc.setdefault(cores, {"turns": r["turns"], "walls": []})
+            a = acc.setdefault((mode, cores), {"turns": r["turns"], "walls": []})
             a["walls"].extend(r.get("walls") or [r["wall_s"]])
-    out = {}
-    for cores, a in acc.items():
+    out: dict = {}
+    for (mode, cores), a in acc.items():
         walls = a["walls"]
         med = sorted(walls)[len(walls) // 2]
-        out[cores] = {"turns": a["turns"], "wall_s": round(min(walls), 3), "walls": walls,
-                      "wall_median_s": round(med, 3),
-                      "turns_per_sec": round(a["turns"] / min(walls), 1),
-                      "turns_per_sec_median": round(a["turns"] / med, 1)}
+        out[(mode, cores)] = {
+            "turns": a["turns"], "wall_s": round(min(walls), 3), "walls": walls,
+            "wall_median_s": round(med, 3),
+            "turns_per_sec": round(a["turns"] / min(walls), 1),
+            "turns_per_sec_median": round(a["turns"] / med, 1)}
     return out
 
 
@@ -181,13 +183,20 @@ def run_scaling(path: str) -> dict:
     lo, hi = max(1, CPUS // 4), CPUS
     un_lo, un_hi = max(1, CPUS // 8), max(1, CPUS // 2)
     levels = sorted({lo, hi, un_lo, un_hi})
-    out = _sweep("--extract-run", levels, path)
+    # engine levels AND the hardware-ceiling control share one interleaved
+    # schedule, with each control run ADJACENT to its engine level:
+    # engine-vs-control is itself a graded ratio, so the two must never sit
+    # in different time windows of this drifting box
+    jobs = [("--extract-run", lo), ("--control-run", lo),
+            ("--extract-run", hi), ("--control-run", hi)] + \
+           [("--extract-run", c) for c in levels if c not in (lo, hi)]
+    res = _sweep(jobs, path)
+    out = {c: res[("--extract-run", c)] for c in levels}
+    ctrl = {c: res[("--control-run", c)] for c in (lo, hi)}
 
     def eff(a: int, b: int, key: str = "turns_per_sec") -> float:
         return round((out[b][key] / out[a][key]) / (b / a), 3)
 
-    # in-run hardware-ceiling control at the primary pair
-    ctrl = _sweep("--control-run", [lo, hi], path)
     ceiling = round((ctrl[hi]["turns_per_sec"] / ctrl[lo]["turns_per_sec"]) / (hi / lo), 3)
 
     efficiency = eff(lo, hi)

@@ -1,18 +1,21 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, scale-ordered:
+Five tiers, scale-ordered:
   exact            -- hash groupBy, one shuffle, works at any scale
   ngram_jaccard    -- inverted-index shingle join (the scalable exact-overlap
                       pattern: no O(n^2) cross join; frequency-capped posting
                       lists bound the blowup)
   minhash_lsh      -- banded MinHash: near-dup candidates meet in band
-                      buckets; only bucket-mates compare
-  simhash          -- 64-bit sign-hash; hamming-ball lookup via band keys
+                      buckets, then every candidate is VERIFIED with the
+                      exact Jaccard before emission
+  simhash          -- 60-bit sign-hash fingerprint
+  embedding LSH    -- integer sign-bucket hyperplane tables + exact cosine
+                      rerank (equi-joins only)
+  + dup_components -- connected components over dup pairs (canonical docs)
 
-All hashing uses xxhash64 (seed-stable, JVM-side).  exact and
-ngram_jaccard have DuckDB oracle mirrors; the two sketches are
-Spark-specific (xxhash64 has no DuckDB twin) and are covered by
-property tests instead.
+All hashing is engine-portable (md5_hash60: first 15 md5 hex chars as
+int64, reproduced literally in DuckDB), so EVERY operator here has a
+value-hash DuckDB oracle mirror -- including the sketches.
 """
 
 from __future__ import annotations

@@ -84,6 +84,57 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return pruned.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("target_w", T.IntegerType(), True),
+    T.StructField("target_h", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def resize_images(media: DataFrame, max_dim: int = 512, fake: bool = True) -> DataFrame:
+    """Aspect-preserving image resize via mapInPandas.
+
+    The Spark-side contract is real: Arrow batches of (metadata, payload
+    bytes) in, resized payloads + integer target dims out; the pixel work
+    is the stubbed step (no codec libs in this container) -- the fake
+    decoder passes payload bytes through.  Target dims are pure integer
+    arithmetic (floor(dim * max_dim / longest_side), no-op when the image
+    already fits), so they are exactly reproducible by a SQL oracle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tw, th, payloads = [], [], []
+            for w, h, p in zip(pdf["width"], pdf["height"], pdf["payload"]):
+                w, h = int(w), int(h)
+                longest = max(w, h)
+                if longest <= max_dim or longest == 0:
+                    nw, nh = w, h
+                else:
+                    nw, nh = (w * max_dim) // longest, (h * max_dim) // longest
+                tw.append(nw)
+                th.append(nh)
+                if fake:
+                    payloads.append(p)          # pixel work is the stub
+                else:  # pragma: no cover - requires codec libs
+                    payloads.append(decode_payload(p, "image"))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "width": pdf["width"], "height": pdf["height"],
+                "target_w": tw, "target_h": th, "payload": payloads,
+            })
+
+    pruned = media.filter(F_img()).select("media_id", "width", "height", "payload")
+    return pruned.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+def F_img():
+    from pyspark.sql import functions as F
+    return F.col("media_type") == "image"
+
+
 def resolution_gate(media: DataFrame, min_w: int = 64, min_h: int = 64) -> DataFrame:
     """Metadata-only filter: prunes payload bytes at the scan (the whole
     point of keeping width/height out of the blob)."""

@@ -10,9 +10,11 @@ for cross-engine value-hash equality:
   * array outputs serialized as sorted CSV strings;
   * ranking outputs carry integer ranks, never raw float scores.
 
-Queries with no ORACLES entry (pandas-UDF extraction, xxhash64 sketches,
-LSH ANN, multimodal) get the driver's rows-only check and are instead
-verified by pytest property/golden tests.
+Only the two pandas-UDF extraction strategies have no ORACLES entry (the
+kernel is not SQL-expressible); they get the driver's rows-only check and
+byte-level golden tests instead.  Everything else -- including the
+MinHash/SimHash/LSH sketches via engine-portable md5-derived hashing and
+integer-exact LSH sign buckets -- is value-hash-checked against DuckDB.
 """
 
 from __future__ import annotations
@@ -1041,6 +1043,26 @@ _MULTIMODAL_GATE_SQL = f"""
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan via the mapInPandas kernel; the query
+    emits the integer target dims (exactly SQL-reproducible) -- the pixel
+    payload is the honestly-stubbed step."""
+    media = _media_from_docs(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_images(media, max_dim=512).select(
+        "media_id", "width", "height", "target_w", "target_h")
+
+
+_MULTIMODAL_RESIZE_SQL = f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, width, height,
+           CAST(CASE WHEN greatest(width, height) <= 512 OR greatest(width, height) = 0
+                     THEN width ELSE (width * 512) // greatest(width, height) END AS INT) AS target_w,
+           CAST(CASE WHEN greatest(width, height) <= 512 OR greatest(width, height) = 0
+                     THEN height ELSE (height * 512) // greatest(width, height) END AS INT) AS target_h
+    FROM media WHERE media_type = 'image'
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing: documents bytes stand in for media blobs.
 
@@ -1107,6 +1129,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_plan": q_multimodal_frame_plan,
     "multimodal_gate": q_multimodal_gate,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
@@ -1141,5 +1164,6 @@ ORACLES = {
     "dedup_components": _DEDUP_COMPONENTS_SQL,
     "multimodal_frame_plan": _MULTIMODAL_FRAME_SQL,
     "multimodal_gate": _MULTIMODAL_GATE_SQL,
+    "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "corpus_clean": _CORPUS_CLEAN_SQL,
 }

@@ -136,6 +136,18 @@ def test_multimodal_feature_determinism(spark):
     assert a[1] != a[2]
 
 
+def test_multimodal_resize_dims(spark):
+    media = spark.createDataFrame(
+        [(1, "image", 1024, 768, None, b"px"),   # downscale, aspect kept
+         (2, "image", 100, 50, None, b"px"),     # already fits: no-op
+         (3, "audio", 9999, 9999, None, b"au")], # non-image: excluded
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: (r.target_w, r.target_h, bytes(r.payload))
+            for r in multimodal.resize_images(media, max_dim=512).collect()}
+    assert rows == {1: (512, 384, b"px"), 2: (100, 50, b"px")}
+
+
 def test_multimodal_resolution_gate(spark):
     media = spark.createDataFrame(
         [(1, "image", 32, 32, 0, b"small"), (2, "image", 640, 480, 0, b"big"),
