@@ -1,17 +1,24 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
   brute_force_topk -- exact cosine top-k: broadcast the (small) query set
                       against the corpus; JVM-side zip_with/aggregate dot
                       products, rank via window.  The correctness baseline.
   lsh_ann_topk     -- random-hyperplane LSH: deterministic sign-bit bucket
                       key, candidates only meet bucket-mates (multi-probe
                       over several independent tables), exact rerank inside
-                      the candidate set.  The 100 TB scale path: cost is
-                      O(candidates) not O(corpus) per query.
+                      the candidate set.  Cost is O(candidates) not
+                      O(corpus) per query.
+  ivf_topk         -- inverted-file index: every vector is assigned to its
+                      best coarse centroid cell (broadcast centroids +
+                      integer-exact argmax), queries probe their n_probe
+                      nearest cells, exact rerank inside the probed cells.
+                      The other standard 100 TB ANN shape; cell assignment
+                      is a write-once batch job in production.
 
-Rank output is integer-only (rank + ids + cos_milli) so the DuckDB oracle
-matches despite cross-engine float-summation-order differences.
+Rank output is integer-only (rank + ids + cos_e5 floors) so the DuckDB
+oracle matches despite cross-engine float-summation-order differences;
+bucket/cell assignments are integer-exact by construction.
 """
 
 from __future__ import annotations
@@ -45,6 +52,52 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> 
             "query_id", "vec_id",
             F.floor(F.lit(100000) * dot / (F.col("qnrm") * F.col("nrm"))).cast("long").alias("cos_e5"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_e5")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             quant: int = 100000) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    Coarse centroids are the first ``n_centroids`` vectors (a deterministic
+    anchor set; production would k-means them -- the *index shape* is what
+    this operator encodes).  Assignment and probing both use INTEGER dot
+    products over quantized vectors (every term < 2^53), so cell membership
+    is bit-identical across engines and the whole query has a DuckDB twin.
+
+    Plan shape: centroids broadcast against the corpus (tiny side), argmax
+    via one window over n_centroids rows per vector, probed-cell candidates
+    via equi-join on cell id, exact cosine rerank inside candidates.
+    """
+    corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
+    q = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long")))
+    cents = (q.filter(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("cid"), F.col("vq").alias("cq")))
+    idot = F.aggregate(F.zip_with("vq", "cq", lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda a, x: a + x)
+    scored_cells = q.join(F.broadcast(cents), F.lit(True)).select("vec_id", "v", "nrm", "cid", idot.alias("d"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid").asc())
+    assigned = (scored_cells.withColumn("r", F.row_number().over(w_assign))
+                .filter(F.col("r") == 1).select("vec_id", "v", "nrm", "cid"))
+    probes = (scored_cells.filter(F.col("vec_id") < n_queries)
+              .withColumn("r", F.row_number().over(w_assign))
+              .filter(F.col("r") <= n_probe)
+              .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                      F.col("nrm").alias("qnrm"), "cid"))
+    cand = (assigned.join(probes, "cid")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm"))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.floor(F.lit(100000) * dot / (F.col("qnrm") * F.col("nrm"))).cast("long").alias("cos_e5"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(), F.col("vec_id").asc())
     return (

@@ -958,6 +958,47 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
+_SIM_IVF_SQL = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    qv AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * 100000) AS BIGINT)) AS vq FROM n),
+    cents AS (SELECT vec_id AS cid, vq AS cq FROM qv WHERE vec_id < 16),
+    sc AS (
+        SELECT qv.vec_id, c.cid, CAST(list_dot_product(qv.vq, c.cq) AS BIGINT) AS d
+        FROM qv CROSS JOIN cents c
+    ),
+    ranked_cells AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS r
+        FROM sc
+    ),
+    assigned AS (SELECT vec_id, cid FROM ranked_cells WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM ranked_cells WHERE r <= 4 AND vec_id < 10),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM assigned a JOIN probes p ON a.cid = p.cid
+        WHERE a.vec_id != p.query_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(floor(100000 * list_dot_product(nq.v, nn.v) / (nq.nrm * nn.nrm)) AS BIGINT) AS cos_e5
+        FROM cand JOIN n nq ON nq.vec_id = query_id JOIN n nn ON nn.vec_id = neighbor_id
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cos_e5
+    FROM (
+        SELECT query_id, neighbor_id, cos_e5,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos_e5 DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+"""
+
+
 def _sim_ann_recall_sql(k: int = 5, n_queries: int = 10) -> str:
     return f"""
     WITH {_ann_bucket_union_sql()},
@@ -1125,6 +1166,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "sim_lsh_ann": q_sim_lsh_ann,
+    "sim_ivf_ann": q_sim_ivf_ann,
     "sim_ann_recall": q_sim_ann_recall,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -1160,6 +1202,7 @@ ORACLES = {
     "dedup_minhash_lsh": _MINHASH_LSH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "sim_lsh_ann": _SIM_LSH_ANN_SQL,
+    "sim_ivf_ann": _SIM_IVF_SQL,
     "sim_ann_recall": _SIM_ANN_RECALL_SQL,
     "dedup_components": _DEDUP_COMPONENTS_SQL,
     "multimodal_frame_plan": _MULTIMODAL_FRAME_SQL,

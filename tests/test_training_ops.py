@@ -118,6 +118,36 @@ def test_lsh_ann_recall_on_clustered_vectors(spark):
     assert recall >= 0.8, f"LSH recall too low on clustered data: {recall}"
 
 
+def test_ivf_ann_recall_on_clustered_vectors(spark):
+    """IVF with centroid anchors drawn from the data: on clustered vectors
+    each cluster's members share a cell, so probing recovers neighbors."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(10):
+        base = rng.randn(64)
+        for _ in range(6):
+            v = base + 0.15 * rng.randn(64)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = similarity.brute_force_topk(emb, n_queries=10, k=5).collect()
+    # first 10 vec_ids span several clusters (6 copies per cluster), so the
+    # anchor set covers the space; probe 4 cells
+    ann = similarity.ivf_topk(emb, n_queries=10, k=5, n_centroids=10, n_probe=4).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"IVF recall too low on clustered data: {recall}"
+
+
+def test_ivf_ann_shape_on_random_vectors(spark, emb_df):
+    ann = similarity.ivf_topk(emb_df, n_queries=10, k=5).collect()
+    assert len(ann) == 50
+    assert all(1 <= r.rank <= 5 for r in ann)
+
+
 def test_lsh_ann_shape_on_random_vectors(spark, emb_df):
     ann = similarity.lsh_ann_topk(emb_df, n_queries=10, k=5, n_planes=6, n_tables=8).collect()
     assert len(ann) == 50
