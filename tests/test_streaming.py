@@ -86,3 +86,36 @@ def test_watermarked_rollup_emits_closed_windows_and_drops_late(spark, tmp_path)
     assert got2[(10, "click")] == (2, 375)          # late row dropped
     assert got2[(11, "click")] == (1, 400)          # hour 11 closed by wave 2
     assert got2[(12, "tick")] == (1, 0)
+
+
+def test_stateful_conv_progress_across_batches_and_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-conversation counters must accumulate
+    across micro-batches AND across a full query restart (state lives in
+    the checkpoint's state store)."""
+    from p_id_text_extraction_spark.streaming.state_stream import conv_progress_stream
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(c, t, None, "x", None, None) for c, t in rows], TRANSCRIPT_SCHEMA)
+
+    # wave 1: conv a has 2 turns, conv b has 1
+    turns([("a", 0), ("a", 1), ("b", 0)]).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = conv_progress_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+
+    def latest():
+        import pandas as pd
+        pdf = spark.read.parquet(out).toPandas()
+        pdf = pdf.sort_values("batch_id").groupby("conv_id").last()
+        return {c: (int(r.turns_seen), int(r.max_turn_idx)) for c, r in pdf.iterrows()}
+
+    assert latest() == {"a": (2, 1), "b": (1, 0)}
+
+    # wave 2 through a RESTARTED query: conv a grows, conv c appears
+    turns([("a", 2), ("c", 0)]).coalesce(1).write.mode("append").parquet(src)
+    q2 = conv_progress_stream(spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src), out, ckpt)
+    q2.awaitTermination(120)
+    assert latest() == {"a": (3, 2), "b": (1, 0), "c": (1, 0)}
