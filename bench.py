@@ -49,7 +49,7 @@ BENCH_TURNS_CONVS = int(os.environ.get("BENCH_CONVS", "48000"))
 BENCH_TRANSCRIPTS = os.environ.get(
     "BENCH_TRANSCRIPTS", f"/tmp/bench_transcripts_c{BENCH_TURNS_CONVS}_v2.parquet"
 )
-RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("BENCH_RUNS", "4"))
 SWEEPS = int(os.environ.get("BENCH_SWEEPS", "2"))
 
 HEADLINE = [

@@ -7,7 +7,7 @@ JVM-side `pyspark.sql.functions` -- whole-stage codegen, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # stopword markers for the n-gram-free language-ID heuristic; chosen to be
@@ -75,6 +75,46 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     (rolling-hash analogue; exact-dedup key)."""
     normalized = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.'s rolling-hash
+    scheme, the standard plagiarism/near-dup fingerprint): hash every
+    char ``k``-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum -- a document pair sharing any sufficiently long run
+    of text shares a fingerprint.
+
+    The per-k-gram hash is the engine-portable md5-60bit (a true rolling
+    polynomial would be cheaper per gram but xxhash/rolling have no DuckDB
+    twin; the selection logic -- the part winnowing actually defines -- is
+    identical).  Emits (doc_id, fp_csv, n_fps): the distinct selected
+    hashes as a sorted CSV.
+    """
+    from p_id_text_extraction_spark.operators.dedup import md5_hash60
+    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    d = docs.select("doc_id", norm.alias("t")).filter(F.length(norm) >= k)
+    # materialize the gram arrays BEFORE exploding: an inlined higher-order
+    # generator child re-evaluates per output element (round-1 lesson)
+    arr = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.length("t") - (k - 1)),
+            lambda i: F.col("t").substr(i, F.lit(k)),
+        ).alias("grams"),
+    ).persist()
+    grams = arr.select("doc_id", F.posexplode("grams").alias("pos", "gram"))
+    hashed = grams.select("doc_id", "pos", md5_hash60(F.col("gram")).alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    mins = hashed.select("doc_id", "pos", F.min("h").over(win).alias("wmin"),
+                         F.max("pos").over(Window.partitionBy("doc_id")).alias("maxpos"))
+    # a window starting at pos is only complete if pos + w - 1 <= maxpos;
+    # incomplete tail windows are excluded (standard winnowing emits one
+    # min per FULL window)
+    sel = mins.filter(F.col("pos") + (w - 1) <= F.col("maxpos"))
+    return sel.groupBy("doc_id").agg(
+        F.array_join(F.array_sort(F.collect_set(F.col("wmin").cast("string"))), ",").alias("fp_csv"),
+        F.countDistinct("wmin").cast("int").alias("n_fps"),
+    )
 
 
 def corpus_clean(docs: DataFrame, min_quality_milli: int = 200,

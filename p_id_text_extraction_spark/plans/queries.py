@@ -520,6 +520,40 @@ _FINGERPRINT_SQL = """
 """
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash document fingerprint scheme)."""
+    return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_WINNOW_SQL = """
+    WITH d AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS t
+        FROM documents
+        WHERE length(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) >= 8
+    ),
+    g AS (
+        SELECT doc_id, i AS pos, substring(t, i, 8) AS gram
+        FROM d, UNNEST(generate_series(1, length(t) - 7)) AS u(i)
+    ),
+    h AS (
+        SELECT doc_id, pos, CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS h
+        FROM g
+    ),
+    m AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin,
+               max(pos) OVER (PARTITION BY doc_id) AS maxpos
+        FROM h
+    ),
+    s AS (SELECT doc_id, wmin FROM m WHERE pos + 15 <= maxpos)
+    SELECT doc_id,
+           array_to_string(list_sort(list(DISTINCT CAST(wmin AS VARCHAR))), ',') AS fp_csv,
+           CAST(COUNT(DISTINCT wmin) AS INT) AS n_fps
+    FROM s GROUP BY doc_id
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pass: exact-dedup to canonical docs, then
     quality / token-count / language gates -- the composition a training
@@ -1157,6 +1191,7 @@ QUERIES = {
     "doc_quality_score": q_doc_quality_score,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnow": q_doc_winnow,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1209,4 +1244,5 @@ ORACLES = {
     "multimodal_gate": _MULTIMODAL_GATE_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "corpus_clean": _CORPUS_CLEAN_SQL,
+    "doc_winnow": _WINNOW_SQL,
 }

@@ -50,6 +50,22 @@ def test_dup_components_chain_and_island(spark):
     assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3), 50: (50, 2), 60: (50, 2)}
 
 
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a run longer than w+k-1 chars
+    share at least one selected fingerprint; disjoint docs share none."""
+    from p_id_text_extraction_spark.operators import textstats
+    shared = "an identical long passage of text that both documents contain verbatim"
+    docs = spark.createDataFrame([
+        (1, "prefix one then " + shared + " and a distinct ending here"),
+        (2, "other opening words " + shared + " with another different tail"),
+        (3, "completely unrelated content about gardening tomatoes in summer"),
+    ], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fp_csv.split(",")) for r in textstats.winnow_fingerprints(docs).collect()}
+    assert fps[1] & fps[2], "shared passage produced no shared fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+
 def test_minhash_identical_signatures(spark, docs_df):
     sigs = {r.doc_id: r.sig for r in dedup.minhash_signatures(docs_df).collect()}
     assert sigs[0] == sigs[1]
