@@ -356,7 +356,10 @@ def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
             F.col("b.v").alias("vb"), F.col("b.nrm").alias("nb"),
         )
     else:
-        q = norm.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long")))
+        # persist the shared corpus projection: it feeds one subtree PER
+        # LSH table -- without the cache each union branch re-reads and
+        # re-normalizes the whole corpus (n_tables full scans at 100 TB)
+        q = norm.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long"))).persist()
         tables = []
         for t in range(n_tables):
             planes = lsh_plane_ints(dim, n_planes, seed + t)

@@ -77,7 +77,8 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     via equi-join on cell id, exact cosine rerank inside candidates.
     """
     corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
-    q = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long")))
+    # two consumers (centroid side + assignment side): cache the projection
+    q = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long"))).persist()
     cents = (q.filter(F.col("vec_id") < n_centroids)
              .select(F.col("vec_id").alias("cid"), F.col("vq").alias("cq")))
     idot = F.aggregate(F.zip_with("vq", "cq", lambda x, y: x * y),
@@ -122,7 +123,9 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     """
     from p_id_text_extraction_spark.operators.dedup import _int_sign_bucket, lsh_plane_ints
     corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
-    q = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long")))
+    # shared projection feeds one subtree per table: cache it or pay
+    # n_tables corpus scans (see dedup.embedding_cosine_dups)
+    q = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long"))).persist()
     tables = []
     for t in range(n_tables):
         planes = lsh_plane_ints(dim, n_planes, seed + t)
