@@ -126,13 +126,10 @@ def resize_images(media: DataFrame, max_dim: int = 512, fake: bool = True) -> Da
                 "target_w": tw, "target_h": th, "payload": payloads,
             })
 
-    pruned = media.filter(F_img()).select("media_id", "width", "height", "payload")
-    return pruned.mapInPandas(kernel, RESIZE_SCHEMA)
-
-
-def F_img():
     from pyspark.sql import functions as F
-    return F.col("media_type") == "image"
+    pruned = (media.filter(F.col("media_type") == "image")
+              .select("media_id", "width", "height", "payload"))
+    return pruned.mapInPandas(kernel, RESIZE_SCHEMA)
 
 
 def resolution_gate(media: DataFrame, min_w: int = 64, min_h: int = 64) -> DataFrame:
