@@ -77,6 +77,55 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
 
 
+# PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically: explicit character classes, no backrefs, no lookaround
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ \t\n]+", "<URL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing pass: emails, URLs, phone-shaped numbers replaced by
+    placeholder tokens, applied in PII_PATTERNS order (earlier passes can't
+    create later matches -- placeholders contain no pattern characters).
+
+    Emits per-doc counts plus the md5 of the redacted text, so the whole
+    transformation -- not just the counts -- is value-hash-verified against
+    the SQL twin.  All codegen regex, no Python.
+    """
+    red = F.col("text")
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(red, F.lit(pattern), F.lit(0)))
+                      .cast("int").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pattern, token)
+    return docs.select("doc_id", *counts, F.md5(red).alias("redacted_fp"))
+
+
+def repetition_score(docs: DataFrame) -> DataFrame:
+    """Within-document repetition: the line-duplication ratio boilerplate
+    and degenerate generations exhibit (a standard corpus-quality gate).
+
+    dup_line_milli = 1000 * (lines - distinct lines) // lines over
+    non-empty trimmed lines; 0 for docs without newlines.
+    """
+    lines = F.filter(
+        F.transform(F.split("text", "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    dup = F.when(n > 0, F.floor((F.lit(1000) * (n - nd)) / n)).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_lines"),
+        nd.cast("int").alias("n_distinct_lines"),
+        dup.cast("int").alias("dup_line_milli"),
+    )
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al.'s rolling-hash
     scheme, the standard plagiarism/near-dup fingerprint): hash every

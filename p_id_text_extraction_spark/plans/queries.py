@@ -520,6 +520,54 @@ _FINGERPRINT_SQL = """
 """
 
 
+def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: per-doc match counts + md5 of the redacted text."""
+    return textstats.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+def _redact_pii_sql() -> str:
+    """Twin built from the same PII_PATTERNS literals; sequential redaction
+    order mirrored with nested regexp_replace."""
+    cur = "text"
+    selects = []
+    for name, pattern, token in textstats.PII_PATTERNS:
+        selects.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pattern}')) AS INT) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{pattern}', '{token}', 'g')"
+    cols = ",\n           ".join(selects)
+    return f"""
+    SELECT doc_id,
+           {cols},
+           md5({cur}) AS redacted_fp
+    FROM documents
+"""
+
+
+_REDACT_PII_SQL = _redact_pii_sql()
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc line-duplication ratio (degenerate-generation gate)."""
+    return textstats.repetition_score(_t(spark, sf_dir, "documents"))
+
+
+_REPETITION_SQL = """
+    WITH l AS (
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+                           s -> s != '') AS lines
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(list_distinct(lines)) AS INT) AS n_distinct_lines,
+           CAST(CASE WHEN len(lines) > 0
+                     THEN floor(1000 * (len(lines) - len(list_distinct(lines))) / len(lines))
+                     ELSE 0 END AS INT) AS dup_line_milli
+    FROM l
+"""
+
+
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rolling-hash document fingerprint scheme)."""
     return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
@@ -1192,6 +1240,8 @@ QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnow": q_doc_winnow,
+    "doc_redact_pii": q_doc_redact_pii,
+    "doc_repetition": q_doc_repetition,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1245,4 +1295,6 @@ ORACLES = {
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
     "corpus_clean": _CORPUS_CLEAN_SQL,
     "doc_winnow": _WINNOW_SQL,
+    "doc_redact_pii": _REDACT_PII_SQL,
+    "doc_repetition": _REPETITION_SQL,
 }

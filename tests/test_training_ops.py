@@ -50,6 +50,35 @@ def test_dup_components_chain_and_island(spark):
     assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3), 50: (50, 2), 60: (50, 2)}
 
 
+def test_redact_pii_counts_and_scrubs(spark):
+    from p_id_text_extraction_spark.operators import textstats
+    docs = spark.createDataFrame([
+        (1, "mail me at jane.doe+x@example.org or see https://ex.com/a?b=1 call +1 555 123 4567"),
+        (2, "no pii in this perfectly ordinary sentence"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: r for r in textstats.redact_pii(docs).collect()}
+    assert (rows[1].n_email, rows[1].n_url, rows[1].n_phone) == (1, 1, 1)
+    assert (rows[2].n_email, rows[2].n_url, rows[2].n_phone) == (0, 0, 0)
+    import hashlib
+    expected = "mail me at <EMAIL> or see <URL> call <PHONE>"
+    assert rows[1].redacted_fp == hashlib.md5(expected.encode()).hexdigest()
+    assert rows[2].redacted_fp == hashlib.md5(b"no pii in this perfectly ordinary sentence").hexdigest()
+
+
+def test_repetition_score(spark):
+    from p_id_text_extraction_spark.operators import textstats
+    docs = spark.createDataFrame([
+        (1, "same line\nsame line\nsame line\nother"),
+        (2, "a\nb\nc"),
+        (3, "no newlines at all"),
+    ], "doc_id long, text string")
+    rows = {r.doc_id: (r.n_lines, r.n_distinct_lines, r.dup_line_milli)
+            for r in textstats.repetition_score(docs).collect()}
+    assert rows[1] == (4, 2, 500)
+    assert rows[2] == (3, 3, 0)
+    assert rows[3] == (1, 1, 0)
+
+
 def test_winnow_shared_run_shares_fingerprint(spark):
     """Winnowing guarantee: two docs sharing a run longer than w+k-1 chars
     share at least one selected fingerprint; disjoint docs share none."""
