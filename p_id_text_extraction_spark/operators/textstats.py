@@ -77,6 +77,25 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
 
 
+def corpus_split(docs: DataFrame, val_permille: int = 100, seed: str = "split-v1") -> DataFrame:
+    """Deterministic train/validation split by content hash: a doc lands in
+    'val' iff md5_hash60(seed || fingerprint) mod 1000 < val_permille.
+
+    Hashing the CONTENT fingerprint (not the id) keeps exact duplicates on
+    the same side of the split -- the leakage rule a real corpus split must
+    obey; the seed string versions the split without touching the data.
+    Pure codegen, reproducible on any engine, no sampling state.
+    """
+    from p_id_text_extraction_spark.operators.dedup import md5_hash60
+    normalized = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    bucket = F.pmod(md5_hash60(F.concat(F.lit(seed + "|"), F.md5(normalized))), F.lit(1000))
+    return docs.select(
+        "doc_id",
+        bucket.cast("int").alias("split_bucket"),
+        F.when(bucket < val_permille, "val").otherwise("train").alias("split"),
+    )
+
+
 # PII patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
 # treat identically: explicit character classes, no backrefs, no lookaround
 PII_PATTERNS = [

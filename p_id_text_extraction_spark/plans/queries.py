@@ -520,6 +520,23 @@ _FINGERPRINT_SQL = """
 """
 
 
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val split (content-hash bucketed)."""
+    return textstats.corpus_split(_t(spark, sf_dir, "documents"))
+
+
+_CORPUS_SPLIT_SQL = """
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5('split-v1|' ||
+                    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))), 1, 15)) AS BIGINT)
+                % 1000 AS INT) AS split_bucket,
+           CASE WHEN CAST(('0x' || substring(md5('split-v1|' ||
+                    md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))), 1, 15)) AS BIGINT)
+                % 1000 < 100 THEN 'val' ELSE 'train' END AS split
+    FROM documents
+"""
+
+
 def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: per-doc match counts + md5 of the redacted text."""
     return textstats.redact_pii(_t(spark, sf_dir, "documents"))
@@ -1243,6 +1260,7 @@ QUERIES = {
     "doc_redact_pii": q_doc_redact_pii,
     "doc_repetition": q_doc_repetition,
     "corpus_clean": q_corpus_clean,
+    "corpus_split": q_corpus_split,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
@@ -1297,4 +1315,5 @@ ORACLES = {
     "doc_winnow": _WINNOW_SQL,
     "doc_redact_pii": _REDACT_PII_SQL,
     "doc_repetition": _REPETITION_SQL,
+    "corpus_split": _CORPUS_SPLIT_SQL,
 }

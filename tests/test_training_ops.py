@@ -50,6 +50,20 @@ def test_dup_components_chain_and_island(spark):
     assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3), 50: (50, 2), 60: (50, 2)}
 
 
+def test_corpus_split_leakage_safe_and_deterministic(spark):
+    from p_id_text_extraction_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some words") for i in range(200)]
+        + [(1000, "document number 7 with some words")],   # exact dup of doc 7
+        "doc_id long, text string")
+    rows = {r.doc_id: (r.split_bucket, r.split) for r in textstats.corpus_split(docs).collect()}
+    assert rows[1000] == rows[7]                     # dups never straddle the split
+    n_val = sum(1 for b, s in rows.values() if s == "val")
+    assert 5 <= n_val <= 45                          # ~10% of 201, loose bound
+    again = {r.doc_id: (r.split_bucket, r.split) for r in textstats.corpus_split(docs).collect()}
+    assert again == rows
+
+
 def test_redact_pii_counts_and_scrubs(spark):
     from p_id_text_extraction_spark.operators import textstats
     docs = spark.createDataFrame([
