@@ -44,7 +44,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry.  ``spark`` may be injected (tests); when the job creates
+    its own session it also owns shutting it down."""
     args = parse_args(argv)
     from p_id_text_extraction_spark.config import ExtractConfig
     from p_id_text_extraction_spark.plans.checkpoint import run_with_resume
@@ -59,7 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     cfg.validate()  # F9 driver-side parameter validation before job submit
 
-    spark = get_spark(app="extract_job", cores=args.cores)
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app="extract_job", cores=args.cores)
     try:
         turns = read_transcripts(spark, args.input)
         result = run_with_resume(
@@ -69,7 +73,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(result))
         return 0
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

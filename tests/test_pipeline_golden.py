@@ -106,6 +106,20 @@ def test_fused_degenerate_turns(spark):
     assert extract_pipeline_fused(transcripts_df(spark, turns)).count() == 0
 
 
+def test_fused_byte_equality_generated_slice(spark):
+    """Broader byte-equality evidence: a 300-conversation slice of the
+    coordination-free distributed generator (the bench table's source),
+    fused strategy vs oracle."""
+    from p_id_text_extraction_spark.sources.transcripts import gen_conv
+    turns = []
+    for i in range(300):
+        turns.extend(gen_conv(f"conv-{i:06d}", max_turns=50))
+    df = extract_pipeline_fused(transcripts_df(spark, turns))
+    rows = _spark_rows(df)
+    assert len(rows) > 3000
+    assert_equal_rows(rows, _oracle_rows(turns))
+
+
 def test_degenerate_turns_produce_no_rows_but_run(spark):
     turns = [
         {"conv_id": "c0", "turn_idx": 0, "role": "user", "text": "", "tool": None, "ts": None},
