@@ -15,6 +15,13 @@ kernel is not SQL-expressible); they get the driver's rows-only check and
 byte-level golden tests instead.  Everything else -- including the
 MinHash/SimHash/LSH sketches via engine-portable md5-derived hashing and
 integer-exact LSH sign buckets -- is value-hash-checked against DuckDB.
+
+Cache policy: some operators persist() a multi-consumer intermediate
+(shingle arrays, quantized corpus projections).  The returned DataFrames
+are lazy plans that still reference those caches, so queries cannot
+unpersist them eagerly; they are deliberately left to Spark's LRU storage
+eviction.  A long-lived service wrapping these queries should unpersist
+after materializing results.
 """
 
 from __future__ import annotations
