@@ -145,8 +145,12 @@ def _run_pinned(mode: str, cores: int, path: str) -> dict:
     if taskset:
         cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
-    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"{mode} at {cores} cores failed (rc={proc.returncode}); "
+            f"stderr tail: {proc.stderr.strip()[-800:]}")
+    return json.loads(lines[-1])
 
 
 def _sweep(jobs: list[tuple[str, int]], path: str) -> dict:

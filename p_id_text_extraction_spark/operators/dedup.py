@@ -165,11 +165,14 @@ def minhash_coeffs(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
-                       seed: int = 11) -> DataFrame:
+                       seed: int = 11, grams: DataFrame | None = None) -> DataFrame:
     """MinHash signatures: ONE md5 per shingle folded to the universal-hash
     domain, then ``num_hashes`` cheap modular permutations folded with
-    min().  Returns (doc_id, sig array<bigint>)."""
-    sh = gram_arrays(docs, n).select("doc_id", F.explode("grams").alias("shingle"))
+    min().  Returns (doc_id, sig array<bigint>).  Pass precomputed
+    ``grams`` (doc_id, grams array) to share a persisted intermediate."""
+    if grams is None:
+        grams = gram_arrays(docs, n)
+    sh = grams.select("doc_id", F.explode("grams").alias("shingle"))
     hs = sh.select("doc_id", F.pmod(md5_hash60(F.col("shingle")), F.lit(MINHASH_P)).alias("hh"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("hh") + F.lit(b), F.lit(MINHASH_P))).alias(f"h{i}")
@@ -195,10 +198,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     """
     rows_per_band = num_hashes // bands
     # persist the shingle arrays: they feed the signature aggregation AND
-    # both sides of the exact-verify join (Spark's cache matcher resolves
-    # minhash_signatures' identical gram_arrays subtree to this cache entry)
+    # both sides of the exact-verify join -- threaded through explicitly,
+    # never relying on the cache manager's plan matching to dedupe an
+    # identical-looking subtree
     grams = gram_arrays(docs, n).persist()
-    sig = minhash_signatures(docs, n, num_hashes, seed)
+    sig = minhash_signatures(docs, n, num_hashes, seed, grams=grams)
     banded = sig.select(
         "doc_id", "sig",
         F.posexplode(
@@ -313,6 +317,18 @@ def lsh_plane_ints(dim: int, n_planes: int, seed: int, scale: int = 1000) -> lis
     return [[int(round(x * scale)) for x in row] for row in rng.randn(n_planes, dim)]
 
 
+def check_embedding_dim(embeddings: DataFrame, dim: int, col: str = "embedding") -> None:
+    """Fail fast when the configured hyperplane dim doesn't match the data:
+    zip_with null-pads a length mismatch, which would silently turn every
+    sign bit into 0 and collapse all vectors into one bucket (degenerating
+    the LSH path back into the O(n^2) join it exists to avoid)."""
+    head = embeddings.select(F.size(F.col(col)).alias("d")).limit(1).collect()
+    if head and head[0]["d"] != dim:
+        raise ValueError(
+            f"embedding dim {head[0]['d']} != configured dim {dim}; pass dim= "
+            f"explicitly (the hyperplane literals and the SQL oracle depend on it)")
+
+
 def _int_sign_bucket(vq: F.Column, planes: list[list[int]]) -> F.Column:
     """Packed sign bits of integer dot products: bit i = (vq . plane_i) >= 0."""
     bucket = F.lit(0).cast("long")
@@ -356,6 +372,7 @@ def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
             F.col("b.v").alias("vb"), F.col("b.nrm").alias("nb"),
         )
     else:
+        check_embedding_dim(embeddings, dim)
         # persist the shared corpus projection: it feeds one subtree PER
         # LSH table -- without the cache each union branch re-reads and
         # re-normalizes the whole corpus (n_tables full scans at 100 TB)

@@ -121,7 +121,12 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     product < 2^53), so a DuckDB oracle reproduces the same candidate set
     bit-for-bit and the whole approximate path is value-hash-checkable.
     """
-    from p_id_text_extraction_spark.operators.dedup import _int_sign_bucket, lsh_plane_ints
+    from p_id_text_extraction_spark.operators.dedup import (
+        _int_sign_bucket,
+        check_embedding_dim,
+        lsh_plane_ints,
+    )
+    check_embedding_dim(embeddings, dim)
     corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
     # shared projection feeds one subtree per table: cache it or pay
     # n_tables corpus scans (see dedup.embedding_cosine_dups)

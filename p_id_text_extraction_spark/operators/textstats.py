@@ -61,13 +61,19 @@ def quality_score(docs: DataFrame) -> DataFrame:
     ).filter(n > 0)
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-marker language ID (n-gram heuristic, deterministic)."""
+def pred_lang_col() -> F.Column:
+    """The language-ID expression alone (usable on any table with `text`)."""
     pred = F.lit("unk")
     # build reversed so earlier markers take precedence
     for code, pattern in reversed(LANG_MARKERS):
         pred = F.when(F.regexp_like(F.lower("text"), F.lit(pattern)), F.lit(code)).otherwise(pred)
-    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+    return pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID (n-gram heuristic, deterministic),
+    alongside the table's ground-truth `lang` column for accuracy joins."""
+    return docs.select("doc_id", "lang", pred_lang_col().alias("pred_lang"))
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
@@ -199,7 +205,9 @@ def corpus_clean(docs: DataFrame, min_quality_milli: int = 200,
     return (
         canon
         .join(quality_score(docs).select("doc_id", "quality_milli"), "doc_id")
-        .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+        # pred_lang_col directly: corpus_clean must not require the
+        # documents table's ground-truth `lang` column it never reads
+        .join(docs.select("doc_id", pred_lang_col().alias("pred_lang")), "doc_id")
         .join(token_count(docs).select("doc_id", "n_tokens"), "doc_id")
         .filter(
             (F.col("quality_milli") >= min_quality_milli)

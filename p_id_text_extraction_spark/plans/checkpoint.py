@@ -29,7 +29,6 @@ so both land as partitioned parquet with identical semantics.
 from __future__ import annotations
 
 import os
-import shutil
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,14 +69,18 @@ def completed_buckets(spark: SparkSession, manifest_dir: str, fingerprint: str) 
     return m.filter(F.col("job_fingerprint") == fingerprint).select("bucket_id").distinct()
 
 
-def _clear_todo_partitions(output_dir: str, fingerprint: str, todo_ids: list[int]) -> None:
+def _clear_todo_partitions(spark: SparkSession, output_dir: str,
+                           fingerprint: str, todo_ids: list[int]) -> None:
     """Remove the partition dirs this run is about to (re)write.  Covers the
     two dynamic-overwrite blind spots: a bucket that died mid-write, and a
     todo bucket that produces zero spans this time (dynamic overwrite would
-    rewrite nothing, silently keeping an aborted attempt's rows)."""
-    base = os.path.join(output_dir, f"job_fingerprint={fingerprint}")
+    rewrite nothing, silently keeping an aborted attempt's rows).  Deletion
+    goes through the Hadoop FileSystem API so file:// / hdfs:// / s3a://
+    output paths are handled, not just bare local paths."""
+    from p_id_text_extraction_spark.util import delete_path
+    base = f"{output_dir.rstrip('/')}/job_fingerprint={fingerprint}"
     for b in todo_ids:
-        shutil.rmtree(os.path.join(base, f"bucket_id={b}"), ignore_errors=True)
+        delete_path(spark, f"{base}/bucket_id={b}")
 
 
 def run_with_resume(
@@ -137,12 +140,13 @@ def run_with_resume(
         .sortWithinPartitions("conv_id", "turn_idx", "span_rank")
         .persist()
     )
+    from p_id_text_extraction_spark.util import dynamic_partition_overwrite
     try:
-        _clear_todo_partitions(output_dir, fingerprint, todo_ids)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (spans.write.mode("overwrite")
-         .partitionBy("job_fingerprint", "bucket_id")
-         .parquet(output_dir))
+        _clear_todo_partitions(spark, output_dir, fingerprint, todo_ids)
+        with dynamic_partition_overwrite(spark):
+            (spans.write.mode("overwrite")
+             .partitionBy("job_fingerprint", "bucket_id")
+             .parquet(output_dir))
 
         # lineage counters per completed bucket (FIXTURES.md section 3), all
         # from THIS run's plan: observe() rode the candidate scan, and the
@@ -170,10 +174,15 @@ def run_with_resume(
                 for r in todo.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     from datetime import datetime, timezone
     now = datetime.now(timezone.utc)
+    # every todo bucket this run COVERED gets a manifest row -- including
+    # buckets the hash left empty (turns_in 0), otherwise sparse buckets
+    # are re-cleared and re-scanned on every resume forever.  A fully
+    # empty input writes nothing: marking all buckets complete off a
+    # misconfigured (empty) input path would poison later resumes.
     manifest_rows = [
-        (b, fingerprint, int(turns_in[b]), int(per_bucket.get(b, 0)), float(drop_rate), now)
-        for b in sorted(turns_in)
-    ]
+        (b, fingerprint, int(turns_in.get(b, 0)), int(per_bucket.get(b, 0)), float(drop_rate), now)
+        for b in sorted(todo_ids)
+    ] if turns_in else []
     if manifest_rows:
         spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode("append").parquet(manifest_dir)
 

@@ -52,13 +52,19 @@ def append_spans(df: DataFrame, table_or_path: str) -> None:
         df.write.mode("append").parquet(table_or_path)
 
 
-def overwrite_span_partitions(df: DataFrame, table_or_path: str) -> None:
+def overwrite_span_partitions(df: DataFrame, table_or_path: str,
+                              partition_cols: tuple[str, ...] = ("bucket_id",)) -> None:
     """Idempotent bucket-retry sink: Iceberg ``overwritePartitions()`` (the
     native equivalent of plans/checkpoint.py's dynamic partition overwrite)
-    or the parquet dynamic-overwrite fallback in the sandbox."""
+    or the parquet dynamic-overwrite fallback in the sandbox.
+
+    The fallback MUST partitionBy: dynamic overwrite is a no-op for
+    unpartitioned writes, where mode('overwrite') truncates the whole
+    directory -- the opposite of the per-partition semantics this sink
+    promises."""
     if has_iceberg(df.sparkSession) and "/" not in table_or_path:
         df.writeTo(table_or_path).overwritePartitions()
     else:
-        spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode("overwrite").parquet(table_or_path)
+        from p_id_text_extraction_spark.util import dynamic_partition_overwrite
+        with dynamic_partition_overwrite(df.sparkSession):
+            df.write.mode("overwrite").partitionBy(*partition_cols).parquet(table_or_path)

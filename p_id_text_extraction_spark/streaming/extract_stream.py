@@ -41,13 +41,13 @@ def extract_stream(
         from pyspark.sql import functions as F
 
         from p_id_text_extraction_spark.plans.pipeline import extract_pipeline_fused
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        from p_id_text_extraction_spark.util import dynamic_partition_overwrite
         plan = (extract_pipeline_fused(batch_df, cfg) if strategy == "fused"
                 else extract_pipeline(batch_df, cfg))
-        (plan
-         .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("batch_id").parquet(output_dir))
+        with dynamic_partition_overwrite(batch_df.sparkSession):
+            (plan
+             .withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_id").parquet(output_dir))
 
     writer = stream.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:

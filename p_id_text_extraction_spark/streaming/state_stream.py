@@ -66,10 +66,11 @@ def conv_progress_stream(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (batch_df.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite").partitionBy("batch_id").parquet(output_dir))
+
+        from p_id_text_extraction_spark.util import dynamic_partition_overwrite
+        with dynamic_partition_overwrite(batch_df.sparkSession):
+            (batch_df.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("batch_id").parquet(output_dir))
 
     writer = (updates.writeStream.outputMode("update")
               .foreachBatch(process_batch)

@@ -80,7 +80,11 @@ def test_iceberg_path_heuristic(monkeypatch, spark, tmp_path):
     monkeypatch.setattr(icemod, "_HAS_ICEBERG", True)
     df = read_table(spark, "/root/testdata/sf0.001/documents.parquet")
     assert df.count() == 500
-    overwrite_span_partitions(df.limit(3), str(tmp_path / "ow"))
+    overwrite_span_partitions(df.limit(3), str(tmp_path / "ow"), partition_cols=("doc_id",))
+    assert spark.read.parquet(str(tmp_path / "ow")).count() == 3
+    # per-partition semantics: rewriting ONE partition must not truncate others
+    one = df.limit(1)
+    overwrite_span_partitions(one, str(tmp_path / "ow"), partition_cols=("doc_id",))
     assert spark.read.parquet(str(tmp_path / "ow")).count() == 3
     monkeypatch.setattr(icemod, "_HAS_ICEBERG", False)
 

@@ -50,6 +50,29 @@ def test_dup_components_chain_and_island(spark):
     assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3), 50: (50, 2), 60: (50, 2)}
 
 
+def test_lsh_rejects_dim_mismatch(spark):
+    """A dim mismatch must fail fast, not silently collapse every vector
+    into bucket 0 (zip_with null-pads length mismatches)."""
+    emb = spark.createDataFrame([(0, [0.1] * 32), (1, [0.2] * 32)],
+                                "vec_id long, embedding array<float>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dim 32"):
+        dedup.embedding_cosine_dups(emb)  # default dim=64
+    with _pytest.raises(ValueError, match="dim 32"):
+        similarity.lsh_ann_topk(emb)
+
+
+def test_corpus_clean_needs_only_text(spark):
+    """corpus_clean must not require the documents table's ground-truth
+    lang column (round-2 review finding)."""
+    from p_id_text_extraction_spark.operators import textstats
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog of the morning went to town")],
+        "doc_id long, text string")
+    rows = textstats.corpus_clean(docs).collect()
+    assert len(rows) == 1 and rows[0].pred_lang == "en"
+
+
 def test_corpus_split_leakage_safe_and_deterministic(spark):
     from p_id_text_extraction_spark.operators import textstats
     docs = spark.createDataFrame(
