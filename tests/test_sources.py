@@ -9,7 +9,7 @@ from p_id_text_extraction_spark.sources.iceberg import (
     overwrite_span_partitions,
     read_table,
 )
-from p_id_text_extraction_spark.sources.transcripts import distributed_transcripts, gen_conv
+from p_id_text_extraction_spark.sources.transcripts import distributed_transcripts, gen_conv, transcripts_df
 
 
 def test_iceberg_degrades_to_parquet(spark, tmp_path):
@@ -98,3 +98,32 @@ def test_distributed_generator_deterministic(spark):
     remote = [r for r in a if r.conv_id == "conv-000003"]
     assert len(local) == len(remote)
     assert [t["text"] for t in local] == [r.text for r in remote]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join contract: two tables bucketed the same way join on
+    the bucket column with ZERO exchanges (and zero sorts, thanks to
+    sortBy) -- the scale pattern for spans-joins-transcripts workloads."""
+    from p_id_text_extraction_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    turns = transcripts_df(spark, [t for i in range(30) for t in gen_conv(f"conv-{i:06d}", 5)])
+    spans = turns.selectExpr("conv_id", "turn_idx", "length(text) AS n_chars")
+    write_bucketed(turns.select("conv_id", "turn_idx", "role"), "t_turns", n_buckets=8)
+    write_bucketed(spans, "t_spans", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at 100 TB neither side broadcasts; disable the tiny-table
+        # broadcast so the planner exercises the bucketed path under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spans_per_conv = read_bucketed(spark, "t_spans").groupBy("conv_id").count()
+        joined = read_bucketed(spark, "t_turns").join(spans_per_conv, ["conv_id"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        assert joined.count() == turns.count()
+        # aggregation on the bucket column is exchange-free too
+        agg = read_bucketed(spark, "t_spans").groupBy("conv_id").count()
+        assert agg._jdf.queryExecution().executedPlan().toString().count("Exchange") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_turns")
+        spark.sql("DROP TABLE IF EXISTS t_spans")
