@@ -166,10 +166,11 @@ def _sweep(jobs: list[tuple[str, int]], path: str) -> dict:
             r = _run_pinned(mode, cores, path)
             a = acc.setdefault((mode, cores), {"turns": r["turns"], "walls": []})
             a["walls"].extend(r.get("walls") or [r["wall_s"]])
+    import statistics
     out: dict = {}
     for (mode, cores), a in acc.items():
         walls = a["walls"]
-        med = sorted(walls)[len(walls) // 2]
+        med = statistics.median(walls)
         out[(mode, cores)] = {
             "turns": a["turns"], "wall_s": round(min(walls), 3), "walls": walls,
             "wall_median_s": round(med, 3),

@@ -287,6 +287,7 @@ def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     ).distinct().persist()
     labels = (edges.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id")).localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         nbr = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
                .groupBy(F.col("dst").alias("doc_id"))
@@ -303,6 +304,12 @@ def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # loudness over silence: an unconverged run would emit one
+        # component split into several with wrong canonical ids
+        raise RuntimeError(
+            f"dup_components did not converge within max_iter={max_iter} "
+            f"rounds (graph diameter exceeds the bound); raise max_iter")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
     return (labels.join(sizes, "label")
             .select("doc_id", F.col("label").alias("component_id"), "component_size"))
@@ -318,11 +325,15 @@ def lsh_plane_ints(dim: int, n_planes: int, seed: int, scale: int = 1000) -> lis
 
 
 def check_embedding_dim(embeddings: DataFrame, dim: int, col: str = "embedding") -> None:
-    """Fail fast when the configured hyperplane dim doesn't match the data:
-    zip_with null-pads a length mismatch, which would silently turn every
-    sign bit into 0 and collapse all vectors into one bucket (degenerating
-    the LSH path back into the O(n^2) join it exists to avoid)."""
-    head = embeddings.select(F.size(F.col(col)).alias("d")).limit(1).collect()
+    """Fail fast (cheaply) when the configured hyperplane dim doesn't match
+    the data: a sampled first non-null row is checked driver-side, and the
+    in-plan guard in _int_sign_bucket catches ragged shards the sample
+    misses -- zip_with null-pads a length mismatch, which would otherwise
+    silently turn every sign bit into 0 and collapse all vectors into one
+    bucket (degenerating the LSH path back into the O(n^2) join it exists
+    to avoid)."""
+    head = (embeddings.filter(F.col(col).isNotNull())
+            .select(F.size(F.col(col)).alias("d")).limit(1).collect())
     if head and head[0]["d"] != dim:
         raise ValueError(
             f"embedding dim {head[0]['d']} != configured dim {dim}; pass dim= "
@@ -330,12 +341,19 @@ def check_embedding_dim(embeddings: DataFrame, dim: int, col: str = "embedding")
 
 
 def _int_sign_bucket(vq: F.Column, planes: list[list[int]]) -> F.Column:
-    """Packed sign bits of integer dot products: bit i = (vq . plane_i) >= 0."""
+    """Packed sign bits of integer dot products: bit i = (vq . plane_i) >= 0.
+
+    A NULL dot product (null-padded zip_with from a ragged row the sampled
+    driver-side dim check missed) raises at execution instead of silently
+    hashing the row into bucket 0."""
     bucket = F.lit(0).cast("long")
+    err = F.raise_error(
+        F.lit("embedding dim mismatch inside LSH bucketing (ragged row)")).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(int(x)).cast("long") for x in p])
         d = F.aggregate(F.zip_with(vq, plane, lambda x, y: x * y),
                         F.lit(0).cast("long"), lambda acc, x: acc + x)
+        d = F.coalesce(d, err)
         bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
     return bucket

@@ -109,6 +109,13 @@ def resize_images(media: DataFrame, max_dim: int = 512, fake: bool = True) -> Da
         for pdf in batches:
             tw, th, payloads = [], [], []
             for w, h, p in zip(pdf["width"], pdf["height"], pdf["payload"]):
+                if pd.isna(w) or pd.isna(h):
+                    # MEDIA_SCHEMA declares dims nullable: missing metadata
+                    # passes through untouched rather than crashing the task
+                    tw.append(None)
+                    th.append(None)
+                    payloads.append(p)
+                    continue
                 w, h = int(w), int(h)
                 longest = max(w, h)
                 if longest <= max_dim or longest == 0:

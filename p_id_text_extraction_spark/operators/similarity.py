@@ -35,6 +35,25 @@ def _norm(v: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
 
 
+def _exact_rerank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """THE scoring contract, shared by every path: exact cosine over a
+    candidate set carrying (query_id, qv, qnrm, vec_id, v, nrm), floored to
+    cos_e5 integers, per-query row_number ranked with the (cos desc,
+    vec_id asc) tie-break.  Any change here must be mirrored in every SQL
+    twin in plans/queries.py."""
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.floor(F.lit(100000) * dot / (F.col("qnrm") * F.col("nrm"))).cast("long").alias("cos_e5"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_e5")
+    )
+
+
 def brute_force_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Exact cosine top-k: query set = vec_id < n_queries (deterministic).
 
@@ -45,20 +64,8 @@ def brute_force_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5) -> 
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
-    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    scored = (
-        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id",
-            F.floor(F.lit(100000) * dot / (F.col("qnrm") * F.col("nrm"))).cast("long").alias("cos_e5"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_e5")
-    )
+    cand = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    return _exact_rerank_topk(cand, k)
 
 
 def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
@@ -95,17 +102,7 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     cand = (assigned.join(probes, "cid")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm"))
-    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    scored = cand.select(
-        "query_id", "vec_id",
-        F.floor(F.lit(100000) * dot / (F.col("qnrm") * F.col("nrm"))).cast("long").alias("cos_e5"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_e5")
-    )
+    return _exact_rerank_topk(cand, k)
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
@@ -152,14 +149,4 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    scored = cand.select(
-        "query_id", "vec_id",
-        F.floor(F.lit(100000) * dot / (F.col("qnrm") * F.col("nrm"))).cast("long").alias("cos_e5"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_e5").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_e5")
-    )
+    return _exact_rerank_topk(cand, k)

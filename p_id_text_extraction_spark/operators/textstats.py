@@ -76,11 +76,19 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "lang", pred_lang_col().alias("pred_lang"))
 
 
+def norm_text_col() -> F.Column:
+    """THE canonical text normalization (casefold + collapse space runs +
+    trim).  fingerprint, corpus_split and winnow_fingerprints all derive
+    from this one expression -- corpus_split's leakage guarantee (exact
+    dups never straddle the split) is DEFINED by staying bit-identical to
+    fingerprint's normalization, so never fork it."""
+    return F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the casefolded, space-collapsed text
     (rolling-hash analogue; exact-dedup key)."""
-    normalized = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
-    return docs.select("doc_id", F.md5(normalized).alias("fp"))
+    return docs.select("doc_id", F.md5(norm_text_col()).alias("fp"))
 
 
 def corpus_split(docs: DataFrame, val_permille: int = 100, seed: str = "split-v1") -> DataFrame:
@@ -93,8 +101,7 @@ def corpus_split(docs: DataFrame, val_permille: int = 100, seed: str = "split-v1
     Pure codegen, reproducible on any engine, no sampling state.
     """
     from p_id_text_extraction_spark.operators.dedup import md5_hash60
-    normalized = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
-    bucket = F.pmod(md5_hash60(F.concat(F.lit(seed + "|"), F.md5(normalized))), F.lit(1000))
+    bucket = F.pmod(md5_hash60(F.concat(F.lit(seed + "|"), F.md5(norm_text_col()))), F.lit(1000))
     return docs.select(
         "doc_id",
         bucket.cast("int").alias("split_bucket"),
@@ -165,7 +172,7 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     hashes as a sorted CSV.
     """
     from p_id_text_extraction_spark.operators.dedup import md5_hash60
-    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    norm = norm_text_col()
     d = docs.select("doc_id", norm.alias("t")).filter(F.length(norm) >= k)
     # materialize the gram arrays BEFORE exploding: an inlined higher-order
     # generator child re-evaluates per output element (round-1 lesson)

@@ -110,6 +110,8 @@ def run_with_resume(
 
     Returns the counter dict for the run.
     """
+    if strategy not in ("relational", "fused"):
+        raise ValueError(f"unknown strategy {strategy!r}: use 'relational' or 'fused'")
     fingerprint = job_fingerprint(cfg, n_buckets)
     bucketed = with_bucket(turns, n_buckets)
 
@@ -176,13 +178,22 @@ def run_with_resume(
     now = datetime.now(timezone.utc)
     # every todo bucket this run COVERED gets a manifest row -- including
     # buckets the hash left empty (turns_in 0), otherwise sparse buckets
-    # are re-cleared and re-scanned on every resume forever.  A fully
-    # empty input writes nothing: marking all buckets complete off a
-    # misconfigured (empty) input path would poison later resumes.
+    # are re-cleared and re-scanned on every resume forever.  The only
+    # skip: an INPUT with zero rows overall -- marking all buckets
+    # complete off a misconfigured (empty) input path would poison later
+    # resumes.  (turns_in empty but input non-empty = a resume whose
+    # remaining todo buckets are all legitimately hash-empty: record them,
+    # or the run livelocks re-clearing them forever.)
+    if turns_in:
+        record = True
+    elif todo_ids:
+        record = bool(turns.limit(1).count())
+    else:
+        record = False
     manifest_rows = [
         (b, fingerprint, int(turns_in.get(b, 0)), int(per_bucket.get(b, 0)), float(drop_rate), now)
         for b in sorted(todo_ids)
-    ] if turns_in else []
+    ] if record else []
     if manifest_rows:
         spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode("append").parquet(manifest_dir)
 

@@ -37,6 +37,9 @@ def extract_stream(
     partition instead of appending a second copy of the spans.
     """
 
+    if strategy not in ("relational", "fused"):
+        raise ValueError(f"unknown strategy {strategy!r}: use 'relational' or 'fused'")
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
