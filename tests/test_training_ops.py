@@ -50,6 +50,19 @@ def test_dup_components_chain_and_island(spark):
     assert got == {10: (10, 3), 20: (10, 3), 30: (10, 3), 50: (50, 2), 60: (50, 2)}
 
 
+def test_dup_components_raises_on_nonconvergence(spark):
+    """A diameter beyond max_iter must fail loudly, never emit a split
+    component with wrong canonical ids."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10, 30)], "doc_a long, doc_b long")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_components(chain, max_iter=2).collect()
+    # and with a sufficient bound the same chain is ONE component
+    out = dedup.dup_components(chain, max_iter=25).collect()
+    assert {r.component_id for r in out} == {10}
+    assert all(r.component_size == 21 for r in out)
+
+
 def test_lsh_rejects_dim_mismatch(spark):
     """A dim mismatch must fail fast, not silently collapse every vector
     into bucket 0 (zip_with null-pads length mismatches)."""
