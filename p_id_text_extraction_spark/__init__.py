@@ -17,11 +17,20 @@ conversation / agent transcripts:
     coord (offset scaling)         ~ src/convert_coord.py:17-23
     order (stable span_rank)       ~ src/cropping/cropping_Images.py:35,55
 
-Design bet: every relational stage (suppress/cluster/merge/crop/coord/order)
-is pure Catalyst-native column/window/aggregate logic; Python appears only in
-Arrow-batched pandas UDF kernels (parse+segment+detect, normalize), which
-call the same pure-Python `spec` module the test oracle uses -- so per-turn
-byte-equality between the distributed pipeline and the oracle is structural.
+Two physical strategies, byte-identical by construction (both call the
+same pure-Python `oracle` kernels the test oracle uses):
+
+  * relational (`plans.pipeline.extract_pipeline`): every stage after the
+    Arrow-batched detect kernel is Catalyst-native column/window/aggregate
+    logic -- 1 exchange, full per-stage observability;
+  * fused (`plans.pipeline.extract_pipeline_fused`): the whole per-turn
+    pipeline in one mapInPandas kernel -- Scan -> MapInPandas, ZERO
+    exchanges, the minimal-communication plan (every post-detect stage is
+    (conv_id, turn_idx)-local).
+
+Alongside: training-data operators (dedup sketches, ANN, text quality,
+multimodal plumbing, corpus curation) -- all value-hash-verified against
+generated DuckDB oracle twins via engine-portable integer/md5 arithmetic.
 """
 
 from p_id_text_extraction_spark.config import ExtractConfig
