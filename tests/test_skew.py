@@ -82,3 +82,40 @@ def test_mega_turn_bounded_blocks(spark, skew_turns):
     n_blocks = cand.select(F.countDistinct("block_idx")).collect()[0][0]
     text_len = len(mega[0]["text"])
     assert n_blocks >= text_len // 230
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: a hot join key whose shuffle partition dwarfs the
+    median must be split into sub-partitions at runtime (the engine's
+    answer for skew OUTSIDE the per-turn-keyed extraction path, where
+    salting/keying is designed in)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "131072",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(120_000).select(
+            F.when(F.col("id") % 20 < 19, "hot").otherwise((F.col("id") % 7).cast("string")).alias("k"),
+            F.lpad(F.col("id").cast("string"), 120, "x").alias("payload"),
+        )
+        dim = spark.createDataFrame(
+            [("hot", 1)] + [(str(i), 0) for i in range(7)], "k string, flag int")
+        # keep payload in the output: pruning it would shrink the shuffle
+        # below the skew threshold and AQE would just coalesce
+        joined = fact.join(dim, "k").select("k", "payload", "flag")
+        # execute THIS DataFrame (count() plans a separate aggregate and
+        # would leave joined's own adaptive plan unfinalized)
+        assert len(joined.collect()) == 120_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        # AQEShuffleRead marks the runtime-split hot partition as 'skewed'
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
