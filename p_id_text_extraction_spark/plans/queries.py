@@ -527,6 +527,50 @@ _FINGERPRINT_SQL = """
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shape rollup: per (predicted language, 256-char length
+    bucket) document counts, token totals, and floored mean quality --
+    the distribution dashboard a curation run reports (A7 analogue on the
+    documents domain).  Integer-only aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    base = (docs.filter(F.length("text") > 0)
+            .select(
+                textstats.pred_lang_col().alias("pred_lang"),
+                (F.floor(F.length("text") / 256)).cast("int").alias("len_bucket"),
+                F.when(F.length(F.trim("text")) == 0, F.lit(0))
+                 .otherwise(F.size(F.split(F.trim("text"), " +"))).alias("n_tokens"),
+                (F.floor(F.lit(1000) * F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text")).cast("int")
+                 - F.floor(F.lit(500) * F.length(F.regexp_replace("text", "[^0-9]", "")) / F.length("text")).cast("int")
+                 ).alias("quality_milli"),
+            ))
+    return base.groupBy("pred_lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.floor(F.avg("quality_milli")).cast("int").alias("mean_quality_milli"),
+    )
+
+
+_CORPUS_STATS_SQL = r"""
+    WITH base AS (
+        SELECT CASE WHEN regexp_matches(lower(text), '\b(the|and|of|to)\b') THEN 'en'
+                    WHEN regexp_matches(lower(text), '\b(el|la|de|que)\b') THEN 'es'
+                    WHEN regexp_matches(lower(text), '\b(le|la|et|les)\b') THEN 'fr'
+                    WHEN regexp_matches(lower(text), '\b(der|die|und|das)\b') THEN 'de'
+                    ELSE 'unk' END AS pred_lang,
+               CAST(floor(length(text) / 256) AS INT) AS len_bucket,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE CAST(len(string_split_regex(trim(text), ' +')) AS INT) END AS n_tokens,
+               CAST(floor(1000 * length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text)) AS INT)
+                 - CAST(floor(500 * length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)) AS INT) AS quality_milli
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT pred_lang, len_bucket, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(floor(avg(quality_milli)) AS INT) AS mean_quality_milli
+    FROM base GROUP BY pred_lang, len_bucket
+"""
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-safe train/val split (content-hash bucketed)."""
     return textstats.corpus_split(_t(spark, sf_dir, "documents"))
@@ -1268,6 +1312,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "corpus_clean": q_corpus_clean,
     "corpus_split": q_corpus_split,
+    "corpus_stats": q_corpus_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
@@ -1323,4 +1368,5 @@ ORACLES = {
     "doc_redact_pii": _REDACT_PII_SQL,
     "doc_repetition": _REPETITION_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
+    "corpus_stats": _CORPUS_STATS_SQL,
 }
