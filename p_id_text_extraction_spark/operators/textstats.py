@@ -20,6 +20,25 @@ LANG_MARKERS = [
 ]
 
 
+def n_tokens_col() -> F.Column:
+    """THE whitespace token count (never fork: corpus gates and the stats
+    rollup must count the same tokens)."""
+    trimmed = F.trim(F.col("text"))
+    return (F.when(F.length(trimmed) == 0, F.lit(0))
+            .otherwise(F.size(F.split(trimmed, " +"))))
+
+
+def quality_milli_col() -> F.Column:
+    """THE quality score (alpha density minus half the digit density, in
+    milli-units; never fork -- corpus_clean's gate and corpus_stats'
+    dashboard must agree)."""
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    return (F.floor(F.lit(1000) * alpha / n).cast("int")
+            - F.floor(F.lit(500) * digit / n).cast("int"))
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace token counting + a BPE-ish subword estimate.
 
@@ -30,8 +49,7 @@ def token_count(docs: DataFrame) -> DataFrame:
     trimmed = F.trim(F.col("text"))
     return docs.select(
         "doc_id",
-        F.when(F.length(trimmed) == 0, F.lit(0))
-         .otherwise(F.size(F.split(trimmed, " +"))).alias("n_tokens"),
+        n_tokens_col().alias("n_tokens"),
         F.length("text").alias("n_chars_actual"),
         (F.length(trimmed) - F.length(F.regexp_replace(trimmed, r"[a-zA-Z0-9]{1,4}", ""))).alias("subword_chars"),
     )
@@ -54,10 +72,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.floor(F.lit(1000) * alpha / n).cast("int").alias("alpha_milli"),
         F.floor(F.lit(1000) * digit / n).cast("int").alias("digit_milli"),
         F.floor(F.lit(1000) * space / n).cast("int").alias("space_milli"),
-        (
-            F.floor(F.lit(1000) * alpha / n).cast("int")
-            - F.floor(F.lit(500) * digit / n).cast("int")
-        ).alias("quality_milli"),
+        quality_milli_col().alias("quality_milli"),
     ).filter(n > 0)
 
 

@@ -537,11 +537,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 textstats.pred_lang_col().alias("pred_lang"),
                 (F.floor(F.length("text") / 256)).cast("int").alias("len_bucket"),
-                F.when(F.length(F.trim("text")) == 0, F.lit(0))
-                 .otherwise(F.size(F.split(F.trim("text"), " +"))).alias("n_tokens"),
-                (F.floor(F.lit(1000) * F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) / F.length("text")).cast("int")
-                 - F.floor(F.lit(500) * F.length(F.regexp_replace("text", "[^0-9]", "")) / F.length("text")).cast("int")
-                 ).alias("quality_milli"),
+                textstats.n_tokens_col().alias("n_tokens"),
+                textstats.quality_milli_col().alias("quality_milli"),
             ))
     return base.groupBy("pred_lang", "len_bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
