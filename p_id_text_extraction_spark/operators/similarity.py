@@ -79,27 +79,52 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     products over quantized vectors (every term < 2^53), so cell membership
     is bit-identical across engines and the whole query has a DuckDB twin.
 
-    Plan shape: centroids broadcast against the corpus (tiny side), argmax
-    via one window over n_centroids rows per vector, probed-cell candidates
-    via equi-join on cell id, exact cosine rerank inside candidates.
+    Plan shape: the trained centroids are DRIVER-SIDE LITERALS (collected
+    once -- a bounded n_centroids-row action; production IVF trains them
+    offline and ships them exactly like this), so cell assignment is a
+    ZERO-exchange projection: the n_centroids integer dots are one array
+    expression per row, argmax is array_max + array_position (first match
+    = smallest cid, the (d desc, cid asc) tie-break).  Probing sorts the
+    same (d, cid) pairs inline over the tiny query rows.  The r2 plan
+    instead broadcast-nested-looped the corpus x n_centroids and shuffled
+    the 16x blowup through a per-vector window just to take an argmax --
+    a scale-killer at 100x the corpus.
     """
     corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
-    # two consumers (centroid side + assignment side): cache the projection
-    q = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long"))).persist()
-    cents = (q.filter(F.col("vec_id") < n_centroids)
-             .select(F.col("vec_id").alias("cid"), F.col("vq").alias("cq")))
-    idot = F.aggregate(F.zip_with("vq", "cq", lambda x, y: x * y),
-                       F.lit(0).cast("long"), lambda a, x: a + x)
-    scored_cells = q.join(F.broadcast(cents), F.lit(True)).select("vec_id", "v", "nrm", "cid", idot.alias("d"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), F.col("cid").asc())
-    assigned = (scored_cells.withColumn("r", F.row_number().over(w_assign))
-                .filter(F.col("r") == 1).select("vec_id", "v", "nrm", "cid"))
-    probes = (scored_cells.filter(F.col("vec_id") < n_queries)
-              .withColumn("r", F.row_number().over(w_assign))
-              .filter(F.col("r") <= n_probe)
-              .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-                      F.col("nrm").alias("qnrm"), "cid"))
-    cand = (assigned.join(probes, "cid")
+    qz = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long")))
+    cents = sorted(
+        qz.filter(F.col("vec_id") < n_centroids).select("vec_id", "vq").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not cents:
+        raise ValueError("ivf_topk: no centroid vectors (vec_id < n_centroids is empty)")
+
+    def idot(cq: list) -> F.Column:
+        plane = F.array(*[F.lit(int(x)).cast("long") for x in cq])
+        return F.aggregate(F.zip_with("vq", plane, lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda a, x: a + x)
+
+    dots = F.array(*[idot(r["vq"]) for r in cents])
+    cids = F.array(*[F.lit(int(r["vec_id"])).cast("int") for r in cents])
+    # argmax with (d desc, cid asc) tie-break: cents are cid-ascending and
+    # array_position returns the FIRST index holding the max
+    best_cid = F.element_at(cids, F.array_position(dots, F.array_max(dots)).cast("int"))
+    assigned = qz.select("vec_id", "v", "nrm", best_cid.alias("cid"))
+
+    # top-n_probe cells per query: sort (neg-dot, cid) structs inline --
+    # array_sort on structs is lexicographic, so nd asc == d desc, cid asc
+    pairs = F.array(*[
+        F.struct((-idot(r["vq"])).alias("nd"), F.lit(int(r["vec_id"])).cast("int").alias("cid"))
+        for r in cents
+    ])
+    probes = (
+        qz.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qnrm"),
+                F.explode(F.transform(F.slice(F.array_sort(pairs), 1, n_probe),
+                                      lambda s: s["cid"])).alias("cid"))
+    )
+    cand = (assigned.join(F.broadcast(probes), "cid")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm"))
     return _exact_rerank_topk(cand, k)
@@ -144,9 +169,16 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
         "tbl", "bucket",
     )
     cand = (
-        bucketed.join(q, ["tbl", "bucket"])
+        bucketed.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", "qnrm", "vec_id", "v", "nrm")
+        # ONE shuffle keyed on query_id serves everything downstream:
+        # HashPartitioning(query_id) satisfies the clustering the
+        # cross-table dedup needs (partitioning exprs are a subset of
+        # [query_id, vec_id]), the rerank window partitions on query_id
+        # exactly, and a recall-audit join/groupBy on query_id reuses it
+        # too -- vs the r2 plan's chain of distinct exchanges
+        .repartition("query_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
     return _exact_rerank_topk(cand, k)

@@ -1090,17 +1090,24 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path."""
     emb = _t(spark, sf_dir, "embeddings")
     k = 5
-    truth = similarity.brute_force_topk(emb, k=k).select("query_id", "neighbor_id")
-    approx = similarity.lsh_ann_topk(emb, k=k).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    # per-query neighbor SETS on each side: the collect_set aggregates
+    # reuse each subtree's existing HashPartitioning(query_id), and the
+    # single-key join of the two per-query frames is co-partitioned -- a
+    # pair-level join on (query_id, neighbor_id) would instead re-shuffle
+    # BOTH sides on the full key pair (requireAllClusterKeysForCoPartition)
+    truth = (similarity.brute_force_topk(emb, k=k)
+             .groupBy("query_id").agg(F.collect_set("neighbor_id").alias("t_set")))
+    approx = (similarity.lsh_ann_topk(emb, k=k)
+              .groupBy("query_id").agg(F.collect_set("neighbor_id").alias("a_set")))
+    hits = F.size(F.array_intersect(
+        "t_set", F.coalesce("a_set", F.array().cast("array<long>"))))
     return (
-        truth.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
+        truth.join(approx, "query_id", "left")
+        .select(
+            "query_id",
             F.lit(k).alias("k"),
-            F.sum(F.coalesce("hit", F.lit(0))).alias("hits"),
-            F.floor(F.lit(1000) * F.sum(F.coalesce("hit", F.lit(0))) / F.lit(k))
-             .cast("int").alias("recall_milli"),
+            hits.cast("long").alias("hits"),
+            F.floor(F.lit(1000) * hits / F.lit(k)).cast("int").alias("recall_milli"),
         )
     )
 
