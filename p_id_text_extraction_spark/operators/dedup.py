@@ -164,16 +164,33 @@ def minhash_coeffs(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
             for _ in range(num_hashes)]
 
 
+def hashed_gram_arrays(docs: DataFrame, n: int = 3,
+                       grams: DataFrame | None = None) -> DataFrame:
+    """Distinct 60-bit-hashed shingle sets: (doc_id, hg array<long>).
+
+    8-byte elements instead of raw shingle strings -- the unit every
+    MinHash consumer (signatures AND the exact-verify join) should ship.
+    A hash collision merges the same elements in the DuckDB twin too
+    (md5_hash60 is engine-portable), so set sizes, intersections, and the
+    exact Jaccard over ``hg`` stay bit-identical cross-engine."""
+    if grams is None:
+        grams = gram_arrays(docs, n)
+    return grams.select(
+        "doc_id", F.array_distinct(F.transform("grams", md5_hash60)).alias("hg"))
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
-                       seed: int = 11, grams: DataFrame | None = None) -> DataFrame:
+                       seed: int = 11, grams: DataFrame | None = None,
+                       hashed: DataFrame | None = None) -> DataFrame:
     """MinHash signatures: ONE md5 per shingle folded to the universal-hash
     domain, then ``num_hashes`` cheap modular permutations folded with
     min().  Returns (doc_id, sig array<bigint>).  Pass precomputed
-    ``grams`` (doc_id, grams array) to share a persisted intermediate."""
-    if grams is None:
-        grams = gram_arrays(docs, n)
-    sh = grams.select("doc_id", F.explode("grams").alias("shingle"))
-    hs = sh.select("doc_id", F.pmod(md5_hash60(F.col("shingle")), F.lit(MINHASH_P)).alias("hh"))
+    ``grams`` (doc_id, grams) or ``hashed`` (doc_id, hg) to share a
+    persisted intermediate."""
+    if hashed is None:
+        hashed = hashed_gram_arrays(docs, n, grams=grams)
+    sh = hashed.select("doc_id", F.explode("hg").alias("h"))
+    hs = sh.select("doc_id", F.pmod(F.col("h"), F.lit(MINHASH_P)).alias("hh"))
     mins = [
         F.min(F.pmod(F.lit(a) * F.col("hh") + F.lit(b), F.lit(MINHASH_P))).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
@@ -197,12 +214,16 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     value filtered at ``min_jaccard_milli``.
     """
     rows_per_band = num_hashes // bands
-    # persist the shingle arrays: they feed the signature aggregation AND
-    # both sides of the exact-verify join -- threaded through explicitly,
-    # never relying on the cache manager's plan matching to dedupe an
-    # identical-looking subtree
-    grams = gram_arrays(docs, n).persist()
-    sig = minhash_signatures(docs, n, num_hashes, seed, grams=grams)
+    # persist the HASHED shingle sets: they feed the signature aggregation
+    # AND both sides of the exact-verify join -- threaded through
+    # explicitly, never relying on the cache manager's plan matching to
+    # dedupe an identical-looking subtree.  Verifying over the 8-byte
+    # hashes instead of raw shingle strings cuts the candidate join's
+    # shuffle weight ~10x (the r2 plan shipped both full string arrays per
+    # pair); the exact Jaccard is unchanged because md5_hash60 collisions
+    # merge identically in the DuckDB twin.
+    hg = hashed_gram_arrays(docs, n).persist()
+    sig = minhash_signatures(docs, n, num_hashes, seed, hashed=hg)
     banded = sig.select(
         "doc_id", "sig",
         F.posexplode(
@@ -225,11 +246,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
         .dropDuplicates(["doc_a", "doc_b"])
     )
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"),
-                      F.size("grams").alias("size_a"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"),
-                      F.size("grams").alias("size_b"))
-    common = F.size(F.array_intersect("ga", "gb"))
+    ga = hg.select(F.col("doc_id").alias("doc_a"), F.col("hg").alias("ha"),
+                   F.size("hg").alias("size_a"))
+    gb = hg.select(F.col("doc_id").alias("doc_b"), F.col("hg").alias("hb"),
+                   F.size("hg").alias("size_b"))
+    common = F.size(F.array_intersect("ha", "hb"))
     return (
         cand.select("doc_a", "doc_b",
                     F.floor(F.lit(1000) * est / F.lit(num_hashes)).cast("int").alias("est_jaccard_milli"))
@@ -273,10 +294,14 @@ def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     round is one shuffle on the (small -- dup pairs only, not the corpus)
     edge set; lineage is cut with localCheckpoint so the plan doesn't grow
     exponentially across iterations -- the standard Spark shape for
-    iterative graph algorithms.  Dup components are near-cliques in
-    practice, so diameter is tiny; ``max_iter`` is a safety bound, and the
-    DuckDB oracle computes the TRUE transitive closure, so a too-small
-    bound fails loudly as a hash mismatch instead of silently.
+    iterative graph algorithms.  Each round runs exactly ONE Spark job: a
+    per-row ``chg`` flag is computed inline and summed by the same action
+    that materializes the round's LAZY localCheckpoint (the r2 shape ran a
+    second label-diff job per round just for the convergence check).
+    Dup components are near-cliques in practice, so diameter is tiny;
+    ``max_iter`` is a safety bound, and the DuckDB oracle computes the
+    TRUE transitive closure, so a too-small bound fails loudly as a hash
+    mismatch instead of silently.
 
     Input: (doc_a, doc_b) pairs.  Output: (doc_id, component_id,
     component_size), component_id = min doc_id of the component.
@@ -292,15 +317,19 @@ def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         nbr = (edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
                .groupBy(F.col("dst").alias("doc_id"))
                .agg(F.min("label").alias("nbr_label")))
-        new_labels = (
+        new_label = F.least(F.col("label"), F.coalesce("nbr_label", F.col("label")))
+        # LAZY checkpoint + an RDD-level sum of the inline change flags:
+        # the sum's single job both materializes the checkpoint (lineage
+        # cut) and answers the convergence question -- labels only ever
+        # decrease, so changed == (new < old) count
+        step = (
             labels.join(nbr, "doc_id", "left")
-            .select("doc_id",
-                    F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"))
-            .localCheckpoint()
+            .select("doc_id", new_label.alias("label"),
+                    (new_label < F.col("label")).cast("long").alias("chg"))
+            .localCheckpoint(eager=False)
         )
-        changed = (new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-                   .filter(F.col("label") != F.col("old")).limit(1).count())
-        labels = new_labels
+        changed = step.rdd.map(lambda r: r[2]).sum()
+        labels = step.select("doc_id", "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -949,8 +949,10 @@ def _minhash_lsh_sql(n: int = 3, num_hashes: int = 32, bands: int = 8,
     banded = "\n        UNION ALL ".join(band_rows)
     matches = " + ".join(f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
                          for i in range(num_hashes))
-    jac = ("floor(1000 * len(list_intersect(ga.g, gb.g)) "
-           "/ (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))))")
+    # exact Jaccard over the HASHED shingle sets (mirrors the Spark plan's
+    # slim verify join; md5-60bit collisions merge identically here)
+    jac = ("floor(1000 * len(list_intersect(ga.hg, gb.hg)) "
+           "/ (len(ga.hg) + len(gb.hg) - len(list_intersect(ga.hg, gb.hg))))")
     return f"""
     WITH toks AS (
         SELECT doc_id, string_split(trim(regexp_replace(lower(text), ' +', ' ', 'g')), ' ') AS t
@@ -964,12 +966,13 @@ def _minhash_lsh_sql(n: int = 3, num_hashes: int = 32, bands: int = 8,
                     ELSE [] END AS g
         FROM toks
     ),
-    sh AS (SELECT doc_id, unnest(g) AS shingle FROM grams),
-    hs AS (
+    hgrams AS (
         SELECT doc_id,
-               CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % {p} AS hh
-        FROM sh
+               list_distinct(list_transform(g,
+                   s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))) AS hg
+        FROM grams
     ),
+    hs AS (SELECT doc_id, unnest(hg) % {p} AS hh FROM hgrams),
     sig AS (
         SELECT doc_id,
                {mins}
@@ -988,7 +991,7 @@ def _minhash_lsh_sql(n: int = 3, num_hashes: int = 32, bands: int = 8,
     )
     SELECT e.doc_a, e.doc_b, e.est_jaccard_milli,
            CAST({jac} AS INT) AS jaccard_milli
-    FROM est e JOIN grams ga ON ga.doc_id = e.doc_a JOIN grams gb ON gb.doc_id = e.doc_b
+    FROM est e JOIN hgrams ga ON ga.doc_id = e.doc_a JOIN hgrams gb ON gb.doc_id = e.doc_b
     WHERE CAST({jac} AS INT) >= {min_jaccard_milli}
 """
 

@@ -63,6 +63,28 @@ def test_dup_components_raises_on_nonconvergence(spark):
     assert all(r.component_size == 21 for r in out)
 
 
+def test_dup_components_one_action_per_iteration(spark):
+    """The convergence check must ride the SAME action that materializes
+    each round's checkpoint, not run a second label-diff job.  A triangle
+    clique converges in exactly 2 iterations; with the fused convergence
+    count the whole loop (init checkpoint + 2 rounds, AQE stage jobs
+    included) stays within 13 Spark jobs -- the split-action shape of the
+    same loop measures 18 on this session config, so a regression that
+    reintroduces a per-round second action trips this bound."""
+    sc = spark.sparkContext
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "doc_a long, doc_b long")
+    pairs.collect()   # materialize input outside the measured group
+    sc.setJobGroup("cc-loop-jobs", "dup_components iteration loop")
+    try:
+        df = dedup.dup_components(pairs)   # loop jobs run inside the call
+    finally:
+        sc.setJobGroup("cc-after", "")
+    got = {r.doc_id: r.component_id for r in df.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    loop_jobs = len(sc.statusTracker().getJobIdsForGroup("cc-loop-jobs"))
+    assert 0 < loop_jobs <= 13, f"iteration loop ran {loop_jobs} jobs"
+
+
 def test_lsh_rejects_dim_mismatch(spark):
     """A dim mismatch must fail fast, not silently collapse every vector
     into bucket 0 (zip_with null-pads length mismatches)."""
