@@ -307,6 +307,8 @@ def main() -> None:
     spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
     path = ensure_bench_transcripts(spark)
 
+    from p_id_text_extraction_spark.util import unpersist_tracked
+
     queries = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -314,6 +316,7 @@ def main() -> None:
         t0 = time.monotonic()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         queries[name] = round(time.monotonic() - t0, 3)
+        unpersist_tracked()   # release this query's operator caches
     spark.stop()
 
     scaling = run_scaling(path)

@@ -24,6 +24,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from p_id_text_extraction_spark.util import track_persist
+
 
 def _norm_text() -> F.Column:
     return F.trim(F.regexp_replace(F.lower("text"), " +", " "))
@@ -103,7 +105,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_milli: int = 10
     # higher-order generator child per OUTPUT element (9s vs 0.2s for this
     # explode at sf0.1).  Materializing the shingle intermediate is also
     # what a production multi-pass dedup does.
-    grams = gram_arrays(docs, n).persist()
+    grams = track_persist(gram_arrays(docs, n))
     sh = (grams.select("doc_id", F.explode("grams").alias("shingle"))
           .select("doc_id", md5_hash60(F.col("shingle")).alias("sh")))
     # set sizes from the pre-explode arrays: no second explode+groupBy
@@ -222,7 +224,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     # shuffle weight ~10x (the r2 plan shipped both full string arrays per
     # pair); the exact Jaccard is unchanged because md5_hash60 collisions
     # merge identically in the DuckDB twin.
-    hg = hashed_gram_arrays(docs, n).persist()
+    hg = track_persist(hashed_gram_arrays(docs, n))
     sig = minhash_signatures(docs, n, num_hashes, seed, hashed=hg)
     banded = sig.select(
         "doc_id", "sig",
@@ -423,7 +425,7 @@ def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
         # persist the shared corpus projection: it feeds one subtree PER
         # LSH table -- without the cache each union branch re-reads and
         # re-normalizes the whole corpus (n_tables full scans at 100 TB)
-        q = norm.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long"))).persist()
+        q = track_persist(norm.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long"))))
         tables = []
         for t in range(n_tables):
             planes = lsh_plane_ints(dim, n_planes, seed + t)

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from p_id_text_extraction_spark.util import track_persist
+
 
 def _as_double(col: str = "embedding") -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -152,7 +154,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
     # shared projection feeds one subtree per table: cache it or pay
     # n_tables corpus scans (see dedup.embedding_cosine_dups)
-    q = corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long"))).persist()
+    q = track_persist(corpus.withColumn("vq", F.transform("v", lambda x: F.floor(x * quant).cast("long"))))
     tables = []
     for t in range(n_tables):
         planes = lsh_plane_ints(dim, n_planes, seed + t)

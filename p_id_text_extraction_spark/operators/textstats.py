@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from p_id_text_extraction_spark.util import track_persist
+
 # stopword markers for the n-gram-free language-ID heuristic; chosen to be
 # expressible as identical LIKE/regexp predicates in Spark SQL and DuckDB
 LANG_MARKERS = [
@@ -22,8 +24,10 @@ LANG_MARKERS = [
 
 def n_tokens_col() -> F.Column:
     """THE whitespace token count (never fork: corpus gates and the stats
-    rollup must count the same tokens)."""
-    trimmed = F.trim(F.col("text"))
+    rollup must count the same tokens).  NULL text counts as empty -- the
+    SQL twins coalesce the same way; without the guard Spark's size() of a
+    null split yields -1 while DuckDB's len() yields NULL."""
+    trimmed = F.trim(F.coalesce(F.col("text"), F.lit("")))
     return (F.when(F.length(trimmed) == 0, F.lit(0))
             .otherwise(F.size(F.split(trimmed, " +"))))
 
@@ -142,7 +146,9 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     transformation -- not just the counts -- is value-hash-verified against
     the SQL twin.  All codegen regex, no Python.
     """
-    red = F.col("text")
+    # NULL text redacts as empty (matching the twins' coalesce): size() of
+    # a null regexp_extract_all is -1 in Spark but NULL in DuckDB
+    red = F.coalesce(F.col("text"), F.lit(""))
     counts = []
     for name, pattern, token in PII_PATTERNS:
         counts.append(F.size(F.regexp_extract_all(red, F.lit(pattern), F.lit(0)))
@@ -158,8 +164,9 @@ def repetition_score(docs: DataFrame) -> DataFrame:
     dup_line_milli = 1000 * (lines - distinct lines) // lines over
     non-empty trimmed lines; 0 for docs without newlines.
     """
+    # NULL text scores as zero lines (matching the twin's coalesce)
     lines = F.filter(
-        F.transform(F.split("text", "\n"), lambda s: F.trim(s)),
+        F.transform(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"), lambda s: F.trim(s)),
         lambda s: s != "",
     )
     n = F.size(lines)
@@ -197,7 +204,8 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
             F.sequence(F.lit(1), F.length("t") - (k - 1)),
             lambda i: F.col("t").substr(i, F.lit(k)),
         ).alias("grams"),
-    ).persist()
+    )
+    arr = track_persist(arr)
     grams = arr.select("doc_id", F.posexplode("grams").alias("pos", "gram"))
     hashed = grams.select("doc_id", "pos", md5_hash60(F.col("gram")).alias("h"))
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)

@@ -38,10 +38,20 @@ from p_id_text_extraction_spark.config import DEFAULT_CONFIG, ExtractConfig
 from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
 
 MANIFEST_COLUMNS = ["bucket_id", "job_fingerprint", "turns_in", "spans_out",
-                    "classifier_drop_rate", "completed_ts"]
+                    "classifier_drop_rate", "input_probe", "completed_ts"]
 
 MANIFEST_SCHEMA = ("bucket_id int, job_fingerprint string, turns_in long, "
-                   "spans_out long, classifier_drop_rate double, completed_ts timestamp")
+                   "spans_out long, classifier_drop_rate double, "
+                   "input_probe string, completed_ts timestamp")
+
+# input_probe values: an audit trail for zero-turn buckets.  'counted'
+# means the bucket's rows were observed directly; 'hash_empty_verified'
+# means the bucket saw zero rows but THIS run positively observed input
+# elsewhere (the global probe) -- so a later audit can distinguish a
+# legitimately hash-empty bucket from one recorded complete while an
+# eventually-consistent listing was hiding its files.
+PROBE_COUNTED = "counted"
+PROBE_HASH_EMPTY = "hash_empty_verified"
 
 
 def job_fingerprint(cfg: ExtractConfig, n_buckets: int) -> str:
@@ -191,7 +201,8 @@ def run_with_resume(
     else:
         record = False
     manifest_rows = [
-        (b, fingerprint, int(turns_in.get(b, 0)), int(per_bucket.get(b, 0)), float(drop_rate), now)
+        (b, fingerprint, int(turns_in.get(b, 0)), int(per_bucket.get(b, 0)), float(drop_rate),
+         PROBE_COUNTED if turns_in.get(b, 0) else PROBE_HASH_EMPTY, now)
         for b in sorted(todo_ids)
     ] if record else []
     if manifest_rows:

@@ -16,12 +16,13 @@ byte-level golden tests instead.  Everything else -- including the
 MinHash/SimHash/LSH sketches via engine-portable md5-derived hashing and
 integer-exact LSH sign buckets -- is value-hash-checked against DuckDB.
 
-Cache policy: some operators persist() a multi-consumer intermediate
-(shingle arrays, quantized corpus projections).  The returned DataFrames
-are lazy plans that still reference those caches, so queries cannot
-unpersist them eagerly; they are deliberately left to Spark's LRU storage
-eviction.  A long-lived service wrapping these queries should unpersist
-after materializing results.
+Cache policy: some operators cache a multi-consumer intermediate (shingle
+arrays, quantized corpus projections) via util.track_persist
+(MEMORY_AND_DISK + a registry).  The returned DataFrames are lazy plans
+that still reference those caches, so queries cannot unpersist eagerly;
+callers release them after materializing results with
+util.unpersist_tracked() -- bench.py and tools/check_oracles.py do, per
+query, so repeated invocations never accumulate cached RDDs.
 """
 
 from __future__ import annotations
@@ -480,8 +481,8 @@ def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_COUNT_SQL = """
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE CAST(len(string_split_regex(trim(text), ' +')) AS INT) END AS n_tokens,
+           CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                ELSE CAST(len(string_split_regex(trim(coalesce(text, '')), ' +')) AS INT) END AS n_tokens,
            CAST(length(text) AS INT) AS n_chars_actual,
            CAST(length(trim(text)) - length(regexp_replace(trim(text), '[a-zA-Z0-9]{1,4}', '', 'g')) AS INT) AS subword_chars
     FROM documents
@@ -592,8 +593,9 @@ def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _redact_pii_sql() -> str:
     """Twin built from the same PII_PATTERNS literals; sequential redaction
-    order mirrored with nested regexp_replace."""
-    cur = "text"
+    order mirrored with nested regexp_replace.  NULL text coalesces to ''
+    exactly like the operator."""
+    cur = "coalesce(text, '')"
     selects = []
     for name, pattern, token in textstats.PII_PATTERNS:
         selects.append(
@@ -619,7 +621,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPETITION_SQL = """
     WITH l AS (
         SELECT doc_id,
-               list_filter(list_transform(string_split(text, chr(10)), s -> trim(s)),
+               list_filter(list_transform(string_split(coalesce(text, ''), chr(10)), s -> trim(s)),
                            s -> s != '') AS lines
         FROM documents
     )

@@ -52,6 +52,22 @@ def test_manifest_lineage_counters(spark, turns_df, tmp_path):
         assert r.spans_out >= 0 and r.turns_in > 0
         # boxes-before/after ratio analogue (grouping_logic.py:978-983)
         assert 0.0 <= r.classifier_drop_rate < 1.0
+        assert r.input_probe == "counted"
+
+
+def test_manifest_flags_hash_empty_buckets(spark, turns_df, tmp_path):
+    """A todo bucket the conv-id hash leaves empty is recorded complete,
+    but with input_probe='hash_empty_verified' -- the audit trail that
+    distinguishes 'legitimately empty under a healthy input' from 'input
+    listing was missing files' (ADVICE round 2)."""
+    out, man = str(tmp_path / "o"), str(tmp_path / "m")
+    # 256 buckets over 40 convs guarantees many hash-empty buckets
+    run_with_resume(spark, turns_df, out, man, n_buckets=256)
+    rows = spark.read.parquet(man).collect()
+    assert len(rows) == 256
+    probes = {r.input_probe for r in rows if r.turns_in == 0}
+    assert probes == {"hash_empty_verified"}
+    assert all(r.input_probe == "counted" for r in rows if r.turns_in > 0)
 
 
 def test_fingerprint_isolation(spark, turns_df, tmp_path):

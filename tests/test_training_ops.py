@@ -317,3 +317,50 @@ def test_multimodal_frame_plan(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload(b"x", "image")
+
+
+def test_null_text_matches_duckdb_twin(spark, tmp_path):
+    """The NULL-text contract (ADVICE round 2): operators whose twins
+    would diverge on NULL text (Spark size(NULL)=-1 vs DuckDB len(NULL)
+    =NULL) must coalesce identically on BOTH sides.  Exercised against a
+    corpus that actually contains NULL/empty text, which the generated
+    testdata never does."""
+    import duckdb
+    from p_id_text_extraction_spark.plans.queries import ORACLES, QUERIES
+    rows = [
+        (1, "a normal document with several plain words", "en", "gen", 42),
+        (2, None, "en", "gen", 0),
+        (3, "", "en", "gen", 0),
+        (4, "  line\nline\nline  ", "en", "gen", 18),
+        (5, "mail me at a.b@example.com or https://x.test/page now", "en", "gen", 53),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    path = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}/*.parquet'")
+    for name in ["doc_token_count", "doc_redact_pii", "doc_repetition",
+                 "doc_fingerprint", "corpus_split", "doc_lang_id"]:
+        sdf = QUERIES[name](spark, str(tmp_path)).toPandas()
+        odf = con.execute(ORACLES[name]).df()
+        s = sorted(map(tuple, sdf[sorted(sdf.columns)].astype(str).itertuples(index=False)))
+        o = sorted(map(tuple, odf[sorted(odf.columns)].astype(str).itertuples(index=False)))
+        assert len(sdf) == len(odf), name
+        assert s == o, f"{name}: first diff {[p for p in zip(s, o) if p[0] != p[1]][:2]}"
+
+
+def test_operator_caches_released_by_unpersist_tracked(spark, docs_df):
+    """Operators persist multi-consumer intermediates; after the caller
+    materializes and calls unpersist_tracked(), no tracked cache survives
+    (ADVICE round 2: no unbounded cache accumulation across invocations)."""
+    from p_id_text_extraction_spark.util import unpersist_tracked
+    unpersist_tracked()   # isolate from earlier tests in this session
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    dedup.minhash_lsh_pairs(docs_df).collect()       # persists hashed grams
+    dedup.ngram_jaccard_pairs(docs_df).collect()     # persists gram arrays
+    assert jsc.getPersistentRDDs().size() > before
+    released = unpersist_tracked()
+    assert released >= 2
+    assert jsc.getPersistentRDDs().size() <= before

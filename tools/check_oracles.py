@@ -18,6 +18,7 @@ import pandas as pd
 
 from p_id_text_extraction_spark.plans.queries import ORACLES, QUERIES
 from p_id_text_extraction_spark.session import get_spark
+from p_id_text_extraction_spark.util import unpersist_tracked
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -89,6 +90,7 @@ def main() -> int:
             print(f"[ OK ] {name}: {len(sdf)} rows match")
         else:
             failures += 1
+        unpersist_tracked()   # release this query's operator caches
     return 1 if failures else 0
 
 
