@@ -103,6 +103,7 @@ def run_with_resume(
     bucket_filter: list[int] | None = None,
     write_partitions: int | None = None,
     strategy: str = "relational",
+    catalog: str = "parquet",
 ) -> dict:
     """Run the pipeline over not-yet-completed buckets; append manifest rows.
 
@@ -118,14 +119,32 @@ def run_with_resume(
     materialize, so classifier_drop_rate is recorded as NaN).
     Both strategies produce byte-identical spans (tests/test_resume.py).
 
+    ``catalog``: 'parquet' (partitioned parquet + explicit todo-partition
+    clears) or 'iceberg' (both sinks are Iceberg tables via
+    sources/iceberg.py -- spans retried buckets land as an atomic
+    overwrite-partitions snapshot, so no pre-clear is needed, and the
+    manifest append is a snapshot commit with isolation).
+
     Returns the counter dict for the run.
     """
     if strategy not in ("relational", "fused"):
         raise ValueError(f"unknown strategy {strategy!r}: use 'relational' or 'fused'")
+    if catalog not in ("parquet", "iceberg"):
+        raise ValueError(f"unknown catalog {catalog!r}: use 'parquet' or 'iceberg'")
     fingerprint = job_fingerprint(cfg, n_buckets)
     bucketed = with_bucket(turns, n_buckets)
 
-    done = completed_buckets(spark, manifest_dir, fingerprint)
+    if catalog == "iceberg":
+        from p_id_text_extraction_spark.sources import iceberg as ice
+        from p_id_text_extraction_spark.sources.iceberg_format import table_exists
+        if table_exists(manifest_dir):
+            done = (ice.read_table(spark, manifest_dir)
+                    .filter(F.col("job_fingerprint") == fingerprint)
+                    .select("bucket_id").distinct())
+        else:
+            done = spark.createDataFrame([], "bucket_id int")
+    else:
+        done = completed_buckets(spark, manifest_dir, fingerprint)
     done_ids = {r.bucket_id for r in done.collect()}           # <= n_buckets rows
     todo = bucketed.join(done, "bucket_id", "left_anti")       # J7: resume anti-join
     if bucket_filter is not None:
@@ -154,11 +173,25 @@ def run_with_resume(
     )
     from p_id_text_extraction_spark.util import dynamic_partition_overwrite
     try:
-        _clear_todo_partitions(spark, output_dir, fingerprint, todo_ids)
-        with dynamic_partition_overwrite(spark):
-            (spans.write.mode("overwrite")
-             .partitionBy("job_fingerprint", "bucket_id")
-             .parquet(output_dir))
+        if catalog == "iceberg":
+            # one atomic overwrite-partitions snapshot: replaced partitions
+            # are EXPLICIT (the todo set), so a bucket retried to zero
+            # spans still drops its old files -- no pre-clear step, and a
+            # reader never observes a half-written state.  A fully-resumed
+            # run (no todo buckets) commits nothing: no empty snapshots.
+            ice.ensure_table(spark, output_dir, spans.schema,
+                             ("job_fingerprint", "bucket_id"))
+            if todo_ids:
+                ice.overwrite_span_partitions(
+                    spans, output_dir,
+                    replaced=[{"job_fingerprint": fingerprint, "bucket_id": b}
+                              for b in todo_ids])
+        else:
+            _clear_todo_partitions(spark, output_dir, fingerprint, todo_ids)
+            with dynamic_partition_overwrite(spark):
+                (spans.write.mode("overwrite")
+                 .partitionBy("job_fingerprint", "bucket_id")
+                 .parquet(output_dir))
 
         # lineage counters per completed bucket (FIXTURES.md section 3), all
         # from THIS run's plan: observe() rode the candidate scan, and the
@@ -206,6 +239,11 @@ def run_with_resume(
         for b in sorted(todo_ids)
     ] if record else []
     if manifest_rows:
-        spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA).write.mode("append").parquet(manifest_dir)
+        mdf = spark.createDataFrame(manifest_rows, MANIFEST_SCHEMA)
+        if catalog == "iceberg":
+            ice.ensure_table(spark, manifest_dir, mdf.schema)
+            ice.append_spans(mdf, manifest_dir)   # snapshot-isolated append
+        else:
+            mdf.write.mode("append").parquet(manifest_dir)
 
     return {"fingerprint": fingerprint, "buckets_completed": len(manifest_rows)}

@@ -1,0 +1,502 @@
+"""Apache Iceberg table format v2, pure Python, over a Hadoop-style catalog.
+
+The north_rule's production target stores transcripts and spans in Iceberg
+tables.  This sandbox has no Iceberg runtime jar, no network, and no
+pyiceberg -- so this module implements the TABLE FORMAT itself from the
+public spec (https://iceberg.apache.org/spec/), to the depth the pipeline
+needs:
+
+  * table layout: ``<table>/metadata/v<N>.metadata.json`` +
+    ``version-hint.text`` (Hadoop catalog commit protocol: write the new
+    metadata file, then atomically swap the hint);
+  * snapshots with Avro manifest lists and Avro manifest files
+    (sources/avro_io.py; the binaries are cross-verified against the JVM
+    org.apache.avro implementation bundled with Spark);
+  * operations: create, append, overwrite-partitions (the idempotent
+    bucket-retry semantics resume needs), scan planning with partition
+    pruning, and snapshot time travel;
+  * identity partition specs, v2 manifest-entry statuses
+    (ADDED/EXISTING/DELETED), per-file record counts and sizes, sequence
+    numbers, and carry-forward of untouched manifests by reference --
+    an overwrite only rewrites manifests that contain replaced
+    partitions, exactly like the reference implementation.
+
+Deliberate deviations, documented:
+  * data files are written by Spark's parquet writer, which records no
+    Iceberg field-ids; the table metadata therefore carries
+    ``schema.name-mapping.default`` -- the spec's sanctioned mechanism
+    for mapping id-less files by column name;
+  * identity-partition source columns live in the directory structure
+    (Hive layout) rather than in the data files; reads reconstitute them
+    via Spark's basePath partition discovery, value-identical to Iceberg's
+    constant-column metadata projection;
+  * avro manifests are single-block, null-codec (readers accept deflate).
+
+Reference parity note: the reference pipeline's durable product is its
+per-stage output contract (text_recognition.py:196-200); here the durable
+product is the committed Iceberg snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as _uuid
+from typing import Any
+
+from p_id_text_extraction_spark.sources import avro_io
+
+STATUS_EXISTING = 0
+STATUS_ADDED = 1
+STATUS_DELETED = 2
+
+_SPARK_TO_ICEBERG = {
+    "string": "string", "int": "int", "integer": "int", "bigint": "long",
+    "long": "long", "double": "double", "float": "float", "boolean": "boolean",
+    "binary": "binary", "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+    "date": "date",
+}
+_ICEBERG_TO_SPARK = {
+    "string": "string", "int": "int", "long": "bigint", "double": "double",
+    "float": "float", "boolean": "boolean", "binary": "binary",
+    "timestamptz": "timestamp", "timestamp": "timestamp_ntz", "date": "date",
+}
+
+
+# ---------------------------------------------------------------------------
+# schema conversion
+# ---------------------------------------------------------------------------
+
+
+def spark_schema_to_iceberg(schema) -> tuple[list[dict], int]:
+    """Spark StructType -> Iceberg v2 schema fields with assigned ids.
+    Supports primitives and array-of-primitive (the spans table's
+    provenance column); ids are depth-first like the java assigner."""
+    fields: list[dict] = []
+    next_id = len(schema.fields) + 1   # element ids follow the top level
+    for i, f in enumerate(schema.fields, start=1):
+        t = f.dataType.simpleString()
+        if t.startswith("array<"):
+            elem = t[len("array<"):-1]
+            if elem not in _SPARK_TO_ICEBERG:
+                raise NotImplementedError(f"array element type {elem!r}")
+            ftype: Any = {"type": "list", "element-id": next_id,
+                          "element": _SPARK_TO_ICEBERG[elem], "element-required": False}
+            next_id += 1
+        elif t in _SPARK_TO_ICEBERG:
+            ftype = _SPARK_TO_ICEBERG[t]
+        else:
+            raise NotImplementedError(f"spark type {t!r} has no iceberg mapping")
+        fields.append({"id": i, "name": f.name, "required": False, "type": ftype})
+    return fields, next_id - 1
+
+
+def iceberg_schema_to_spark_ddl(fields: list[dict]) -> str:
+    """Iceberg schema fields -> a Spark DDL string (for empty-table reads)."""
+    cols = []
+    for f in fields:
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            cols.append(f"{f['name']} array<{_ICEBERG_TO_SPARK[t['element']]}>")
+        else:
+            cols.append(f"{f['name']} {_ICEBERG_TO_SPARK[t]}")
+    return ", ".join(cols)
+
+
+def _name_mapping(fields: list[dict]) -> str:
+    return json.dumps([{"field-id": f["id"], "names": [f["name"]]} for f in fields])
+
+
+# ---------------------------------------------------------------------------
+# metadata file handling (Hadoop catalog commit protocol)
+# ---------------------------------------------------------------------------
+
+
+def _meta_dir(table_path: str) -> str:
+    return os.path.join(table_path, "metadata")
+
+
+def table_exists(table_path: str) -> bool:
+    return os.path.isfile(os.path.join(_meta_dir(table_path), "version-hint.text"))
+
+
+def current_version(table_path: str) -> int:
+    with open(os.path.join(_meta_dir(table_path), "version-hint.text")) as f:
+        return int(f.read().strip())
+
+
+def load_metadata(table_path: str, version: int | None = None) -> dict:
+    v = current_version(table_path) if version is None else version
+    with open(os.path.join(_meta_dir(table_path), f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _write_version(table_path: str, meta: dict, version: int) -> None:
+    """Write v<N>.metadata.json then swap version-hint.text -- both via
+    atomic rename, the Hadoop-catalog commit protocol (a reader either
+    sees the previous committed version or the new one, never a torn
+    write)."""
+    d = _meta_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    mpath = os.path.join(d, f"v{version}.metadata.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, mpath)
+    hint_tmp = os.path.join(d, "version-hint.text.tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(version))
+    os.replace(hint_tmp, os.path.join(d, "version-hint.text"))
+
+
+def create_table(table_path: str, spark_schema, partition_cols: tuple[str, ...] = ()) -> dict:
+    """Create an empty Iceberg v2 table with an identity partition spec."""
+    if table_exists(table_path):
+        raise FileExistsError(f"iceberg table already exists at {table_path}")
+    fields, last_col = spark_schema_to_iceberg(spark_schema)
+    by_name = {f["name"]: f for f in fields}
+    spec_fields = []
+    for i, c in enumerate(partition_cols):
+        if c not in by_name:
+            raise ValueError(f"partition column {c!r} not in schema")
+        spec_fields.append({"name": c, "transform": "identity",
+                            "source-id": by_name[c]["id"], "field-id": 1000 + i})
+    meta = {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid5(_uuid.NAMESPACE_URL, "iceberg://" + os.path.abspath(table_path))),
+        "location": os.path.abspath(table_path),
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": last_col,
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"schema.name-mapping.default": _name_mapping(fields),
+                       "write.format.default": "parquet"},
+        "current-snapshot-id": -1,
+        "refs": {},
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    _write_version(table_path, meta, 1)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# manifest + manifest list schemas (Iceberg spec field ids)
+# ---------------------------------------------------------------------------
+
+
+def _partition_avro_schema(meta: dict) -> dict:
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    schema_fields = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    pfields = []
+    for pf in spec["fields"]:
+        src = schema_fields[pf["source-id"]]
+        avro_t = {"string": "string", "int": "int", "long": "long",
+                  "double": "double", "boolean": "boolean"}[src["type"]]
+        pfields.append({"name": pf["name"], "type": ["null", avro_t],
+                        "default": None, "field-id": pf["field-id"]})
+    return {"type": "record", "name": "r102", "fields": pfields}
+
+
+def _manifest_entry_schema(meta: dict) -> dict:
+    return {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None, "field-id": 4},
+            {"name": "data_file", "field-id": 2, "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {"name": "partition", "type": _partition_avro_schema(meta), "field-id": 102},
+                    {"name": "record_count", "type": "long", "field-id": 103},
+                    {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                ],
+            }},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# commits: append / overwrite-partitions
+# ---------------------------------------------------------------------------
+
+
+def _write_manifest(meta: dict, table_path: str, entries: list[dict],
+                    snapshot_id: int, seq: int, tag: str) -> dict:
+    """Write one manifest avro; return its manifest-list entry."""
+    name = f"{meta['table-uuid'][:8]}-snap{snapshot_id}-{tag}.avro"
+    path = os.path.join(_meta_dir(table_path), name)
+    avro_io.write_container(
+        path, _manifest_entry_schema(meta), entries,
+        metadata={"format-version": "2", "content": "data",
+                  "partition-spec-id": str(meta["default-spec-id"]),
+                  "schema": json.dumps(meta["schemas"][meta["current-schema-id"]])})
+    counts = {STATUS_ADDED: [0, 0], STATUS_EXISTING: [0, 0], STATUS_DELETED: [0, 0]}
+    for e in entries:
+        c = counts[e["status"]]
+        c[0] += 1
+        c[1] += e["data_file"]["record_count"]
+    min_seq = min((e["sequence_number"] for e in entries
+                   if e["sequence_number"] is not None), default=seq)
+    return {
+        "manifest_path": path, "manifest_length": os.path.getsize(path),
+        "partition_spec_id": meta["default-spec-id"], "content": 0,
+        "sequence_number": seq, "min_sequence_number": min_seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": counts[STATUS_ADDED][0],
+        "existing_files_count": counts[STATUS_EXISTING][0],
+        "deleted_files_count": counts[STATUS_DELETED][0],
+        "added_rows_count": counts[STATUS_ADDED][1],
+        "existing_rows_count": counts[STATUS_EXISTING][1],
+        "deleted_rows_count": counts[STATUS_DELETED][1],
+    }
+
+
+def _current_manifest_list(meta: dict) -> list[dict]:
+    sid = meta.get("current-snapshot-id", -1)
+    if sid in (-1, None):
+        return []
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+    _schema, entries, _m = avro_io.read_container(snap["manifest-list"])
+    return entries
+
+
+def _commit_snapshot(table_path: str, meta: dict, manifest_entries: list[dict],
+                     snapshot_id: int, seq: int, operation: str) -> dict:
+    list_name = f"snap-{snapshot_id}-1-{meta['table-uuid'][:8]}.avro"
+    list_path = os.path.join(_meta_dir(table_path), list_name)
+    parent = meta.get("current-snapshot-id", -1)
+    avro_io.write_container(
+        list_path, _MANIFEST_FILE_SCHEMA, manifest_entries,
+        metadata={"format-version": "2", "snapshot-id": str(snapshot_id),
+                  "sequence-number": str(seq),
+                  "parent-snapshot-id": str(parent if parent not in (-1, None) else "null")})
+    now = int(time.time() * 1000)
+    snap = {
+        "snapshot-id": snapshot_id, "sequence-number": seq, "timestamp-ms": now,
+        "summary": {"operation": operation}, "manifest-list": list_path, "schema-id": 0,
+    }
+    if parent not in (-1, None):
+        snap["parent-snapshot-id"] = parent
+    version = current_version(table_path)
+    meta = dict(meta)
+    meta["snapshots"] = meta["snapshots"] + [snap]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now
+    meta["refs"] = {"main": {"snapshot-id": snapshot_id, "type": "branch"}}
+    meta["snapshot-log"] = meta["snapshot-log"] + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now}]
+    meta["metadata-log"] = meta["metadata-log"] + [
+        {"metadata-file": os.path.join(_meta_dir(table_path), f"v{version}.metadata.json"),
+         "timestamp-ms": now}]
+    _write_version(table_path, meta, version + 1)
+    return snap
+
+
+def _entry(df: dict, status: int, snapshot_id: int, seq: int | None) -> dict:
+    return {"status": status, "snapshot_id": snapshot_id,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {"content": 0, "file_format": "PARQUET", **df}}
+
+
+def append_files(table_path: str, datafiles: list[dict]) -> dict:
+    """Commit an append snapshot.  ``datafiles``: dicts with file_path,
+    partition (dict), record_count, file_size_in_bytes.  Previous manifests
+    carry forward BY REFERENCE -- an append never rewrites history."""
+    meta = load_metadata(table_path)
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    entries = [_entry(df, STATUS_ADDED, snapshot_id, seq) for df in datafiles]
+    new_manifest = _write_manifest(meta, table_path, entries, snapshot_id, seq, "m0")
+    manifest_list = [new_manifest] + _current_manifest_list(meta)
+    return _commit_snapshot(table_path, meta, manifest_list, snapshot_id, seq, "append")
+
+
+def overwrite_partitions(table_path: str, replaced: list[dict],
+                         datafiles: list[dict]) -> dict:
+    """Commit an overwrite snapshot replacing whole partitions: every live
+    file whose partition matches an entry of ``replaced`` is dropped, then
+    ``datafiles`` are added.  Manifests with no replaced entries carry
+    forward by reference; affected manifests are rewritten with surviving
+    entries as EXISTING (original sequence numbers preserved) -- the
+    resume/retry semantics (a bucket retried to ZERO rows still drops its
+    old files, which plain dynamic partition overwrite cannot express)."""
+    meta = load_metadata(table_path)
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+
+    def is_replaced(partition: dict) -> bool:
+        return any(all(partition.get(k) == v for k, v in r.items()) for r in replaced)
+
+    manifest_list: list[dict] = []
+    if datafiles:
+        added = [_entry(df, STATUS_ADDED, snapshot_id, seq) for df in datafiles]
+        manifest_list.append(_write_manifest(meta, table_path, added, snapshot_id, seq, "m0"))
+    for i, m in enumerate(_current_manifest_list(meta)):
+        _schema, entries, _meta2 = avro_io.read_container(m["manifest_path"])
+        live = [e for e in entries if e["status"] != STATUS_DELETED]
+        survivors = [e for e in live if not is_replaced(e["data_file"]["partition"])]
+        if len(survivors) == len(live):
+            manifest_list.append(m)       # untouched: carry forward by reference
+            continue
+        rewritten = [
+            {**e, "status": STATUS_EXISTING} for e in survivors
+        ] + [
+            {**e, "status": STATUS_DELETED, "snapshot_id": snapshot_id}
+            for e in live if is_replaced(e["data_file"]["partition"])
+        ]
+        if rewritten:
+            manifest_list.append(
+                _write_manifest(meta, table_path, rewritten, snapshot_id, seq, f"m{i + 1}"))
+    return _commit_snapshot(table_path, meta, manifest_list, snapshot_id, seq, "overwrite")
+
+
+# ---------------------------------------------------------------------------
+# scan planning
+# ---------------------------------------------------------------------------
+
+
+def plan_files(table_path: str, snapshot_id: int | None = None,
+               partition_filter: dict | None = None) -> list[dict]:
+    """Snapshot -> manifest list -> manifests -> live data files, with
+    partition pruning.  Returns data_file dicts (file_path, partition,
+    record_count, file_size_in_bytes)."""
+    meta = load_metadata(table_path)
+    sid = meta.get("current-snapshot-id", -1) if snapshot_id is None else snapshot_id
+    if sid in (-1, None):
+        return []
+    snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == sid), None)
+    if snap is None:
+        raise ValueError(f"unknown snapshot id {sid} for {table_path}")
+    _schema, manifests, _m = avro_io.read_container(snap["manifest-list"])
+    out: list[dict] = []
+    for m in manifests:
+        _s2, entries, _m2 = avro_io.read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] == STATUS_DELETED:
+                continue
+            part = e["data_file"]["partition"]
+            if partition_filter and any(part.get(k) != v for k, v in partition_filter.items()):
+                continue
+            out.append(e["data_file"])
+    return sorted(out, key=lambda d: d["file_path"])
+
+
+def snapshot_ids(table_path: str) -> list[int]:
+    return [s["snapshot-id"] for s in load_metadata(table_path)["snapshots"]]
+
+
+# ---------------------------------------------------------------------------
+# Spark integration: DataFrame write / read through the format
+# ---------------------------------------------------------------------------
+
+
+def _stage_datafiles(df, table_path: str, partition_cols: tuple[str, ...],
+                     seq_tag: str) -> list[dict]:
+    """Write df via Spark's parquet writer into the table's data dir and
+    return data_file dicts.  Files land under data/<k>=<v>/ (Hive layout);
+    record counts come from the parquet footers (pyarrow)."""
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+    staging = os.path.join(table_path, f"_staging-{seq_tag}")
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    meta = load_metadata(table_path)
+    schema_fields = {f["name"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    datafiles: list[dict] = []
+    data_dir = os.path.join(table_path, "data")
+    for root, _dirs, files in os.walk(staging):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(root, fname)
+            rel = os.path.relpath(root, staging)
+            partition: dict = {}
+            for piece in ([] if rel == "." else rel.split(os.sep)):
+                k, _, v = piece.partition("=")
+                v = urllib.parse.unquote(v)
+                partition[k] = int(v) if schema_fields[k]["type"] in ("int", "long") else v
+            dest_dir = os.path.join(data_dir, "" if rel == "." else rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"{seq_tag}-{fname}")
+            os.replace(src, dest)
+            datafiles.append({
+                "file_path": dest,
+                "partition": partition,
+                "record_count": pq.ParquetFile(dest).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(dest),
+            })
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    return datafiles
+
+
+def write_dataframe(df, table_path: str, mode: str = "append",
+                    replaced: list[dict] | None = None) -> dict:
+    """Write a DataFrame through the Iceberg format.  ``mode``: 'append'
+    or 'overwrite_partitions' (with ``replaced`` = explicit partition-value
+    dicts to drop -- explicit so a retry that produces ZERO rows for a
+    partition still clears it)."""
+    meta = load_metadata(table_path)
+    partition_cols = tuple(
+        f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"])
+    seq_tag = f"{meta['last-sequence-number'] + 1:05d}"
+    datafiles = _stage_datafiles(df, table_path, partition_cols, seq_tag)
+    if mode == "append":
+        return append_files(table_path, datafiles)
+    if mode == "overwrite_partitions":
+        reps = replaced if replaced is not None else [d["partition"] for d in datafiles]
+        return overwrite_partitions(table_path, reps, datafiles)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def read_table(spark, table_path: str, snapshot_id: int | None = None,
+               partition_filter: dict | None = None):
+    """Plan the scan through snapshot metadata and read the planned parquet
+    files; identity partition columns are reconstituted via basePath
+    discovery.  An empty table yields an empty DataFrame with the table
+    schema."""
+    files = plan_files(table_path, snapshot_id, partition_filter)
+    meta = load_metadata(table_path)
+    fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    if not files:
+        return spark.createDataFrame([], iceberg_schema_to_spark_ddl(fields))
+    return (spark.read.option("basePath", os.path.join(table_path, "data"))
+            .parquet(*[f["file_path"] for f in files]))

@@ -1,0 +1,186 @@
+"""End-to-end tests for the pure-Python Iceberg v2 table format
+(sources/iceberg_format.py) -- the UNMOCKED production-semantics path for
+the north_rule's Iceberg tables (the runtime-jar branch stays
+mock-covered; this layer actually executes).
+
+Covers: Avro binary compliance against the independent JVM Avro
+implementation bundled with Spark, snapshot commits via the
+Hadoop-catalog version-hint protocol, time travel, partition pruning,
+overwrite-partitions retry semantics (including zero-row clears),
+manifest carry-forward by reference, and the full checkpoint/resume
+protocol with catalog='iceberg'."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from p_id_text_extraction_spark.plans.checkpoint import run_with_resume
+from p_id_text_extraction_spark.sources import avro_io
+from p_id_text_extraction_spark.sources import iceberg_format as ice
+from p_id_text_extraction_spark.sources.transcripts import gen_turns, transcripts_df
+
+KEY = ["conv_id", "turn_idx", "span_rank"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, bucket_id int, text string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = _df(spark, [(f"c{i}", i % 4, f"text {i}") for i in range(20)])
+    ice.create_table(path, df.schema, partition_cols=("bucket_id",))
+    ice.write_dataframe(df, path, mode="append")
+    return path
+
+
+def test_avro_files_readable_by_jvm_avro(spark, table):
+    """The hand-written Avro manifests/manifest-lists must be readable by
+    org.apache.avro (Spark's bundled, fully independent implementation)
+    with identical record content -- spec compliance is verified, not
+    assumed."""
+    jvm = spark._jvm
+    meta_dir = os.path.join(table, "metadata")
+    avro_files = [os.path.join(meta_dir, f) for f in os.listdir(meta_dir)
+                  if f.endswith(".avro")]
+    assert len(avro_files) >= 2   # manifest + manifest list
+    for path in avro_files:
+        _schema, py_records, _m = avro_io.read_container(path)
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader())
+        jvm_records = []
+        while reader.hasNext():
+            jvm_records.append(json.loads(str(reader.next())))
+        reader.close()
+        assert jvm_records == py_records, path
+
+
+def test_metadata_v2_shape_and_commit_protocol(table):
+    meta = ice.load_metadata(table)
+    assert meta["format-version"] == 2
+    for key in ("table-uuid", "schemas", "partition-specs", "snapshots",
+                "last-sequence-number", "last-column-id", "sort-orders"):
+        assert key in meta
+    # name mapping: the sanctioned mechanism for id-less parquet files
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert {m["names"][0] for m in mapping} == {"conv_id", "bucket_id", "text"}
+    # version-hint protocol: hint points at the latest metadata file
+    v = ice.current_version(table)
+    assert v == 2   # create + append
+    assert os.path.isfile(os.path.join(table, "metadata", f"v{v}.metadata.json"))
+    # identity partition spec on bucket_id
+    spec = meta["partition-specs"][0]["fields"][0]
+    assert spec["name"] == "bucket_id" and spec["transform"] == "identity"
+
+
+def test_append_timetravel_and_partition_pruning(spark, table):
+    s1 = ice.load_metadata(table)["current-snapshot-id"]
+    ice.write_dataframe(_df(spark, [("d0", 1, "late"), ("d1", 2, "late")]),
+                        table, mode="append")
+    assert ice.read_table(spark, table).count() == 22
+    # time travel: the first snapshot still plans exactly its own files
+    assert ice.read_table(spark, table, snapshot_id=s1).count() == 20
+    # partition pruning happens at PLANNING time (no parquet even opened)
+    planned = ice.plan_files(table, partition_filter={"bucket_id": 2})
+    assert planned and all("bucket_id=2" in f["file_path"] for f in planned)
+    got = ice.read_table(spark, table, partition_filter={"bucket_id": 2})
+    assert got.count() == 6   # 5 original + 1 appended
+    # identity partition column is reconstituted on read
+    assert set(got.select("bucket_id").distinct().toPandas()["bucket_id"]) == {2}
+
+
+def test_manifest_carry_forward_by_reference(spark, table):
+    """An append must NOT rewrite history: the prior snapshot's manifest
+    file is referenced verbatim from the new manifest list."""
+    meta = ice.load_metadata(table)
+    snap1 = next(s for s in meta["snapshots"]
+                 if s["snapshot-id"] == meta["current-snapshot-id"])
+    _s, list1, _m = avro_io.read_container(snap1["manifest-list"])
+    ice.write_dataframe(_df(spark, [("d0", 0, "x")]), table, mode="append")
+    meta2 = ice.load_metadata(table)
+    snap2 = next(s for s in meta2["snapshots"]
+                 if s["snapshot-id"] == meta2["current-snapshot-id"])
+    _s, list2, _m = avro_io.read_container(snap2["manifest-list"])
+    assert {m["manifest_path"] for m in list1} < {m["manifest_path"] for m in list2}
+    carried = [m for m in list2 if m["manifest_path"] in {x["manifest_path"] for x in list1}]
+    assert carried == list1   # byte-for-byte same entries, same sequence numbers
+
+
+def test_overwrite_partitions_and_zero_row_clear(spark, table):
+    ice.write_dataframe(_df(spark, [("z1", 2, "new"), ("z2", 2, "new")]),
+                        table, mode="overwrite_partitions", replaced=[{"bucket_id": 2}])
+    got = sorted(r.conv_id for r in
+                 ice.read_table(spark, table, partition_filter={"bucket_id": 2}).collect())
+    assert got == ["z1", "z2"]
+    assert ice.read_table(spark, table).count() == 17   # 20 - 5 + 2
+    # a retry that lands ZERO rows still clears its partition -- the exact
+    # semantics plain dynamic partition overwrite cannot express
+    empty = spark.createDataFrame([], "conv_id string, bucket_id int, text string")
+    ice.write_dataframe(empty, table, mode="overwrite_partitions", replaced=[{"bucket_id": 3}])
+    assert ice.read_table(spark, table, partition_filter={"bucket_id": 3}).count() == 0
+    assert ice.read_table(spark, table).count() == 12   # 17 - 5
+    # deleted files are tombstoned, not vanished: the old snapshot still reads
+    snaps = ice.snapshot_ids(table)
+    assert ice.read_table(spark, table, snapshot_id=snaps[0]).count() == 20
+
+
+def test_snapshot_isolation_for_pinned_readers(spark, table):
+    """A reader pinned at snapshot S must see identical rows after any
+    number of later commits -- what makes concurrent resume attempts safe
+    on the manifest table."""
+    pinned = ice.load_metadata(table)["current-snapshot-id"]
+    before = sorted(map(tuple, ice.read_table(spark, table, snapshot_id=pinned).collect()))
+    ice.write_dataframe(_df(spark, [("w", 0, "later")]), table, mode="append")
+    ice.write_dataframe(_df(spark, [("v", 1, "later2")]), table,
+                        mode="overwrite_partitions", replaced=[{"bucket_id": 1}])
+    after = sorted(map(tuple, ice.read_table(spark, table, snapshot_id=pinned).collect()))
+    assert before == after
+
+
+def test_resume_with_iceberg_catalog(spark, tmp_path):
+    """The full checkpoint protocol over Iceberg tables, UNMOCKED:
+    kill/resume byte-identical to an uninterrupted parquet-catalog run,
+    idempotent third run commits nothing, manifest is a snapshot-committed
+    Iceberg table."""
+    turns = transcripts_df(spark, gen_turns(40, max_turns=10, seed=3))
+    out, man = str(tmp_path / "spans_ice"), str(tmp_path / "man_ice")
+    r1 = run_with_resume(spark, turns, out, man, n_buckets=8,
+                         bucket_filter=[0, 1, 2, 3], catalog="iceberg")
+    assert r1["buckets_completed"] == 4
+    r2 = run_with_resume(spark, turns, out, man, n_buckets=8, catalog="iceberg")
+    assert r2["buckets_completed"] == 4
+    r3 = run_with_resume(spark, turns, out, man, n_buckets=8, catalog="iceberg")
+    assert r3["buckets_completed"] == 0
+    # no-op resume must not have committed an empty snapshot
+    assert len(ice.snapshot_ids(out)) == 2
+
+    run_with_resume(spark, turns, str(tmp_path / "pq"), str(tmp_path / "pqm"), n_buckets=8)
+    a = [tuple(r) for r in ice.read_table(spark, out)
+         .drop("bucket_id", "job_fingerprint").orderBy(*KEY).collect()]
+    b = [tuple(r) for r in spark.read.parquet(str(tmp_path / "pq"))
+         .drop("bucket_id", "job_fingerprint").orderBy(*KEY).collect()]
+    assert a == b and len(a) > 100
+
+    m = ice.read_table(spark, man)
+    assert m.count() == 8
+    assert set(m.toPandas()["input_probe"]) <= {"counted", "hash_empty_verified"}
+    assert len(ice.snapshot_ids(man)) == 2   # one manifest append per productive run
+
+
+def test_fused_strategy_through_iceberg(spark, tmp_path):
+    """Both strategies must write byte-identical spans through the Iceberg
+    catalog path too."""
+    turns = transcripts_df(spark, gen_turns(25, max_turns=8, seed=5))
+    run_with_resume(spark, turns, str(tmp_path / "rel"), str(tmp_path / "relm"),
+                    n_buckets=4, catalog="iceberg")
+    run_with_resume(spark, turns, str(tmp_path / "fus"), str(tmp_path / "fusm"),
+                    n_buckets=4, catalog="iceberg", strategy="fused")
+    a = [tuple(r) for r in ice.read_table(spark, str(tmp_path / "rel"))
+         .drop("bucket_id", "job_fingerprint").orderBy(*KEY).collect()]
+    b = [tuple(r) for r in ice.read_table(spark, str(tmp_path / "fus"))
+         .drop("bucket_id", "job_fingerprint").orderBy(*KEY).collect()]
+    assert a == b and a
