@@ -116,3 +116,57 @@ def test_zero_span_todo_bucket_cleared(spark, tmp_path):
     ])
     run_with_resume(spark, turns_b, out, str(tmp_path / "m2"), n_buckets=1)
     assert not os.path.isdir(part) or not any(f.endswith(".parquet") for f in os.listdir(part))
+
+
+def test_resume_churn_matrix_isolation(spark, turns_df, tmp_path):
+    """Interleaved config AND bucketing churn over SHARED output/manifest
+    dirs (VERDICT r2 item 7): A-run (killed half-way), B-run (different
+    config and n_buckets, uninterrupted), then A-resume.  Each
+    fingerprint's rows must be byte-equal to its own isolated
+    uninterrupted run -- zero cross-contamination in either direction,
+    and neither run may satisfy or clear the other's buckets."""
+    out, man = str(tmp_path / "shared_out"), str(tmp_path / "shared_man")
+    cfg_a, nb_a = ExtractConfig(), 8
+    cfg_b, nb_b = ExtractConfig(pad=4), 4
+
+    ra1 = run_with_resume(spark, turns_df, out, man, cfg=cfg_a, n_buckets=nb_a,
+                          bucket_filter=[0, 1, 2, 3])
+    rb = run_with_resume(spark, turns_df, out, man, cfg=cfg_b, n_buckets=nb_b)
+    ra2 = run_with_resume(spark, turns_df, out, man, cfg=cfg_a, n_buckets=nb_a)
+    assert (ra1["buckets_completed"], rb["buckets_completed"], ra2["buckets_completed"]) \
+        == (4, 4, 4)
+
+    # isolated uninterrupted baselines
+    run_with_resume(spark, turns_df, str(tmp_path / "ia"), str(tmp_path / "iam"),
+                    cfg=cfg_a, n_buckets=nb_a)
+    run_with_resume(spark, turns_df, str(tmp_path / "ib"), str(tmp_path / "ibm"),
+                    cfg=cfg_b, n_buckets=nb_b)
+
+    fp_a, fp_b = job_fingerprint(cfg_a, nb_a), job_fingerprint(cfg_b, nb_b)
+    shared = spark.read.parquet(out)
+    assert set(r.job_fingerprint for r in shared.select("job_fingerprint").distinct().collect()) \
+        == {fp_a, fp_b}
+
+    def rows(df):
+        return [tuple(r) for r in df.drop("bucket_id", "job_fingerprint")
+                .orderBy(*KEY).collect()]
+
+    assert rows(shared.filter(shared.job_fingerprint == fp_a)) \
+        == _rows(spark, str(tmp_path / "ia"))
+    assert rows(shared.filter(shared.job_fingerprint == fp_b)) \
+        == _rows(spark, str(tmp_path / "ib"))
+
+    # manifest isolation: exactly one row per (fingerprint, bucket), no leaks
+    man_rows = spark.read.parquet(man).collect()
+    per_fp = {}
+    for r in man_rows:
+        per_fp.setdefault(r.job_fingerprint, []).append(r.bucket_id)
+    assert sorted(per_fp[fp_a]) == list(range(nb_a))
+    assert sorted(per_fp[fp_b]) == list(range(nb_b))
+    assert set(per_fp) == {fp_a, fp_b}
+
+    # a FOURTH run of either config is a no-op: churn never un-completes work
+    assert run_with_resume(spark, turns_df, out, man, cfg=cfg_a,
+                           n_buckets=nb_a)["buckets_completed"] == 0
+    assert run_with_resume(spark, turns_df, out, man, cfg=cfg_b,
+                           n_buckets=nb_b)["buckets_completed"] == 0
