@@ -7,7 +7,12 @@ at multiple CPU-PINNED parallelism levels over the same deterministic bench
 transcripts table, and prints ONE JSON line:
 
     {"metric": "...", "value": <turns/sec at 4N>, "unit": "...",
-     "queries": {...}, "sf": ..., "scaling": {...}}
+     "queries": {name: {min, median, walls}}, "sf": ...,
+     "queries_sf1": {...}, "scale_step_vs_sf": {...}, "scaling": {...}}
+
+Headline queries run in INTERLEAVED sweeps (min + median per query, same
+drift rationale as the scaling levels), then once at the derived sf1
+(tools/gen_sf1.py, 10x rows) to record the scale-step ratio.
 
 Scaling evidence for the north_rule's two-cluster-size criterion
 (BASELINE.md):
@@ -44,6 +49,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+BENCH_SF1 = os.environ.get("BENCH_SF1", "1") == "1"
+QUERY_SWEEPS = int(os.environ.get("BENCH_QUERY_SWEEPS", "3"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TURNS_CONVS = int(os.environ.get("BENCH_CONVS", "48000"))
 BENCH_TRANSCRIPTS = os.environ.get(
@@ -67,6 +75,33 @@ HEADLINE = [
     "sim_topk_cosine",
     "doc_quality_score",
 ]
+
+
+def time_queries(spark, sf_dir: str, sweeps: int) -> dict:
+    """Per-query wall times, INTERLEAVED across ``sweeps`` rounds (the box
+    drifts 1.5-2x over minutes -- a single-shot-per-query table
+    manufactured r2's phantom agg_pricing_summary regression).  Each round
+    runs warm + timed + cache release, so every timed run measures the
+    cache-warm path and rounds stay independent.  Returns
+    {name: {min, median, walls}}."""
+    import statistics
+
+    from p_id_text_extraction_spark.plans.queries import QUERIES
+    from p_id_text_extraction_spark.util import unpersist_tracked
+    walls: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(sweeps):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls[name].append(round(time.monotonic() - t0, 3))
+            unpersist_tracked()   # release this query's operator caches
+    return {
+        name: {"min": round(min(w), 3), "median": round(statistics.median(w), 3),
+               "walls": w}
+        for name, w in walls.items()
+    }
 
 
 def ensure_bench_transcripts(spark) -> str:
@@ -231,7 +266,9 @@ def run_scaling(path: str) -> dict:
     }
 
 
-def write_baseline_md(scaling: dict, queries: dict, sf: str) -> None:
+def write_baseline_md(scaling: dict, queries: dict, sf: str,
+                      queries_sf1: dict | None = None,
+                      scale_step: dict | None = None) -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     un = scaling.get("unsaturated") or {}
     ceil = scaling.get("ceiling") or {}
@@ -281,13 +318,29 @@ def write_baseline_md(scaling: dict, queries: dict, sf: str) -> None:
         "cross-executor coordination, so per-executor behaviour is the",
         "unsaturated pair.",
         "",
-        f"## Headline query wall times ({sf}, local[{CPUS}])",
+        f"## Headline query wall times ({sf}, local[{CPUS}],",
+        f"{QUERY_SWEEPS} interleaved sweeps, min + median)",
         "",
-        "| query | sec |",
-        "| --- | --- |",
+        "| query | min s | median s | walls |",
+        "| --- | --- | --- | --- |",
     ]
     for q, s in queries.items():
-        lines.append(f"| {q} | {s} |")
+        lines.append(f"| {q} | {s['min']} | {s['median']} | {s['walls']} |")
+    if queries_sf1:
+        lines += [
+            "",
+            f"## Scale step: sf1 (10x rows, {SF1_DIR}, derived by tools/gen_sf1.py)",
+            "",
+            "One sweep; ratio = sf1 min / sf0.1 min (10x data -> ~<=10x wall",
+            "means the plan scales linearly; fixed per-query overheads make",
+            "small-wall queries read far below 10x).",
+            "",
+            "| query | sf1 s | ratio vs sf0.1 |",
+            "| --- | --- | --- |",
+        ] + [
+            f"| {q} | {s['min']} | {scale_step.get(q)} |"
+            for q, s in queries_sf1.items()
+        ]
     lines.append("")
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines))
@@ -307,20 +360,24 @@ def main() -> None:
     spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
     path = ensure_bench_transcripts(spark)
 
-    from p_id_text_extraction_spark.util import unpersist_tracked
+    queries = time_queries(spark, SF_DIR, sweeps=QUERY_SWEEPS)
 
-    queries = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
-        unpersist_tracked()   # release this query's operator caches
+    queries_sf1, scale_step = {}, {}
+    if BENCH_SF1:
+        if not os.path.isdir(SF1_DIR):
+            subprocess.run([sys.executable, os.path.join(REPO, "tools", "gen_sf1.py"),
+                            SF1_DIR], check=True, timeout=1200)
+        # one sweep at 10x the rows: the scale step the small-sf sweeps
+        # can't see (posting caps, bucket occupancy, shuffle sizing)
+        queries_sf1 = time_queries(spark, SF1_DIR, sweeps=1)
+        scale_step = {
+            n: round(queries_sf1[n]["min"] / queries[n]["min"], 2)
+            for n in HEADLINE if queries[n]["min"] > 0
+        }
     spark.stop()
 
     scaling = run_scaling(path)
-    write_baseline_md(scaling, queries, SF_DIR)
+    write_baseline_md(scaling, queries, SF_DIR, queries_sf1, scale_step)
 
     print(json.dumps({
         "metric": "extraction turns/sec at local[4N] + scaling efficiency N->4N",
@@ -328,6 +385,9 @@ def main() -> None:
         "unit": "turns/sec",
         "queries": queries,
         "sf": SF_DIR,
+        "queries_sf1": queries_sf1,
+        "sf1_dir": SF1_DIR if BENCH_SF1 else None,
+        "scale_step_vs_sf": scale_step,
         "scaling": scaling,
     }))
 

@@ -36,6 +36,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--strategy", choices=["relational", "fused"], default="relational",
                    help="relational = declarative plan with lineage counters; "
                         "fused = map-only kernel (fastest, no candidate counters)")
+    p.add_argument("--catalog", choices=["parquet", "iceberg"], default="parquet",
+                   help="sink format: partitioned parquet, or Iceberg tables "
+                        "(snapshot-committed spans + manifest; the input path "
+                        "may also be an Iceberg table in either mode)")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox only)")
     p.add_argument("--block-size", type=int, default=256)
     p.add_argument("--overlap", type=float, default=0.1)
@@ -68,7 +72,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         turns = read_transcripts(spark, args.input)
         result = run_with_resume(
             spark, turns, args.output, args.manifest, cfg=cfg, n_buckets=args.buckets,
-            strategy=args.strategy,
+            strategy=args.strategy, catalog=args.catalog,
         )
         print(json.dumps(result))
         return 0

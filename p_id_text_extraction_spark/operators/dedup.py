@@ -285,7 +285,8 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+def dup_components(pairs: DataFrame, max_iter: int = 15,
+                   algorithm: str = "propagate") -> DataFrame:
     """Connected components over near-duplicate pairs: canonical-document
     assignment (the keep-one side of dedup -- every doc maps to the MIN
     doc_id reachable through dup edges).
@@ -305,9 +306,20 @@ def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     TRUE transitive closure, so a too-small bound fails loudly as a hash
     mismatch instead of silently.
 
+    ``algorithm='propagate'`` (default): neighbor-min only -- cheapest
+    per round, converges in <= diameter rounds, right for near-clique dup
+    graphs.  ``algorithm='jump'``: adds a pointer-jumping shortcut after
+    each propagation (every vertex adopts its label's label -- one extra
+    self-join per round), collapsing convergence to O(log diameter)
+    rounds: the escape hatch for pathological long-chain dup graphs
+    (e.g. a 10^6-doc chain of pairwise near-dups) that 'propagate' would
+    need a million rounds for.
+
     Input: (doc_a, doc_b) pairs.  Output: (doc_id, component_id,
     component_size), component_id = min doc_id of the component.
     """
+    if algorithm not in ("propagate", "jump"):
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'propagate' or 'jump'")
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -320,14 +332,26 @@ def dup_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                .groupBy(F.col("dst").alias("doc_id"))
                .agg(F.min("label").alias("nbr_label")))
         new_label = F.least(F.col("label"), F.coalesce("nbr_label", F.col("label")))
+        stepped = (labels.join(nbr, "doc_id", "left")
+                   .select("doc_id", new_label.alias("label"),
+                           F.col("label").alias("old")))
+        if algorithm == "jump":
+            # pointer jumping: label <- label(label).  Every label value
+            # is itself a vertex id, so the referenced row always exists;
+            # labels only decrease, so the shortcut composes with the
+            # propagation step and halves remaining chain distance.
+            ref = stepped.select(F.col("doc_id").alias("ref_id"),
+                                 F.col("label").alias("ref_label"))
+            stepped = (stepped.join(ref, stepped["label"] == ref["ref_id"])
+                       .select("doc_id", F.col("ref_label").alias("label"), "old"))
         # LAZY checkpoint + an RDD-level sum of the inline change flags:
         # the sum's single job both materializes the checkpoint (lineage
         # cut) and answers the convergence question -- labels only ever
         # decrease, so changed == (new < old) count
         step = (
-            labels.join(nbr, "doc_id", "left")
-            .select("doc_id", new_label.alias("label"),
-                    (new_label < F.col("label")).cast("long").alias("chg"))
+            stepped
+            .select("doc_id", "label",
+                    (F.col("label") < F.col("old")).cast("long").alias("chg"))
             .localCheckpoint(eager=False)
         )
         changed = step.rdd.map(lambda r: r[2]).sum()

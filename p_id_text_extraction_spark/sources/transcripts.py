@@ -196,9 +196,15 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     """Scan operator (SURVEY.md S1).
 
     Production: ``spark.read.format("iceberg").load(table)`` with partition
-    pruning on ``bucket(16, conv_id)``.  Sandbox: parquet with the same
+    pruning on ``bucket(16, conv_id)``.  A path holding an Iceberg-format
+    table reads through snapshot-planned scan metadata
+    (sources/iceberg_format.py); plain parquet otherwise, with the same
     schema; column pruning + predicate pushdown still apply.
     """
+    from p_id_text_extraction_spark.sources import iceberg_format
+    if iceberg_format.table_exists(path):
+        df = iceberg_format.read_table(spark, path)
+        return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
     return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
 
 

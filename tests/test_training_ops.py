@@ -63,6 +63,18 @@ def test_dup_components_raises_on_nonconvergence(spark):
     assert all(r.component_size == 21 for r in out)
 
 
+def test_dup_components_jump_collapses_long_chains(spark):
+    """algorithm='jump' (pointer-jumping shortcut) must solve a chain far
+    deeper than its round budget: 501 vertices in <=12 rounds, where
+    min-label propagation alone needs 500.  The large-diameter escape
+    hatch for pathological dup graphs."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(500)], "doc_a long, doc_b long")
+    out = dedup.dup_components(chain, max_iter=12, algorithm="jump").collect()
+    assert len(out) == 501
+    assert {r.component_id for r in out} == {0}
+    assert all(r.component_size == 501 for r in out)
+
+
 def test_dup_components_one_action_per_iteration(spark):
     """The convergence check must ride the SAME action that materializes
     each round's checkpoint, not run a second label-diff job.  A triangle

@@ -1,0 +1,136 @@
+"""Derive a deterministic sf1 dataset (10x sf0.1) for the scale-step sweep.
+
+The driver provides sf0.001/0.01/0.1 only; the posting-cap and
+bucket-occupancy behavior of the dedup/ANN suite is scale-sensitive, so
+round 3 runs CORRECTNESS + BENCH one step up.  sf1 is DERIVED from the
+driver's sf0.1 tables (never hand-invented data): 10 shards, each with
+every integer key offset by shard * (max_key + 1).
+
+Shard-local structure is preserved and cross-shard structure is
+deliberately broken:
+  * documents: shard 0 is the original text; shards 1..9 apply a
+    deterministic per-shard VOCABULARY TRANSLATION -- every token maps
+    injectively to a shard-keyed pseudo-word (letters only, so quality
+    densities survive), language-marker stopwords kept verbatim (so the
+    lang-id mix survives).  A positional injective token map preserves
+    exact-dup, near-dup, and n-gram-overlap structure INSIDE each shard
+    bit-for-bit while shards share (almost) no vocabulary, so dup-pair
+    counts scale exactly ~10x.  (First attempt sorted tokens by a
+    shard-keyed hash -- that CANONICALIZES token order, turning any two
+    vocabulary-overlapping docs into spurious near-dups: 90k pairs
+    instead of ~3k.  Translation, not reordering.);
+  * embeddings: each vector is cyclically rotated by the shard index
+    (norm-preserving, so cosine structure within a shard is intact and
+    LSH bucket occupancy grows 10x without 10 identical bucket tables);
+  * region/nation stay as-is (fixed dimensions, like TPC-H).
+
+Output: /tmp/spark_graft_sf1/*.parquet (same filenames as the driver's
+dirs).  Fully deterministic -- rerunning produces identical bytes.
+
+Usage: python tools/gen_sf1.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+SHARDS = 10
+
+KEYED = {
+    # table -> columns to offset per shard
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    "events": ["event_id", "user_id"],
+}
+# foreign keys into fixed dims must NOT be offset
+NO_OFFSET = {"c_nationkey", "s_nationkey", "l_linenumber"}
+COPY = ["region", "nation"]
+
+
+# language-marker stopwords (operators/textstats.LANG_MARKERS words) kept
+# verbatim so every shard's lang-id mix matches sf0.1's
+KEEP = {"the", "and", "of", "to", "el", "la", "de", "que",
+        "le", "et", "les", "der", "die", "und", "das"}
+_LETTERS = str.maketrans("0123456789", "ghijklmnop")
+
+
+def translate_tokens(text: str | None, shard: int) -> str | None:
+    """Injective per-shard vocabulary substitution (identity for shard 0).
+    Newlines survive (the repetition gate's line structure must scale)."""
+    if text is None or shard == 0:
+        return text
+    salt = f"|{shard}".encode()
+
+    def tr(t: str) -> str:
+        if "\n" in t:
+            return "\n".join(tr(p) for p in t.split("\n"))
+        if t in KEEP or t == "":
+            return t
+        return hashlib.md5(t.encode() + salt).hexdigest()[:8].translate(_LETTERS)
+
+    return " ".join(tr(t) for t in text.split(" "))
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    for t in COPY:
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+    for t, keys in KEYED.items():
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+        offs = {k: con.execute(
+            f"SELECT max({k}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
+            for k in keys if k not in NO_OFFSET}
+        selects = []
+        for shard in range(SHARDS):
+            exprs = []
+            for c in cols:
+                if c in offs:
+                    exprs.append(f"{c} + {shard * offs[c]} AS {c}")
+                else:
+                    exprs.append(c)
+            selects.append(f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'")
+        union = "\nUNION ALL ".join(selects)
+        con.execute(f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+    # documents: python-side deterministic vocabulary translation per
+    # shard; n_chars re-derived from the translated text (sf0.1 satisfies
+    # n_chars == length(text), and dimension validation must keep holding)
+    con.create_function("shuf", translate_tokens, ["VARCHAR", "INTEGER"], "VARCHAR")
+    ndoc = con.execute(f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+    selects = [
+        (f"SELECT doc_id + {s * ndoc} AS doc_id, shuf(text, {s}) AS text, lang, source, "
+         f"length(shuf(text, {s})) AS n_chars FROM '{SRC}/documents.parquet'")
+        for s in range(SHARDS)
+    ]
+    con.execute("COPY (" + "\nUNION ALL ".join(selects) + f") TO '{out}/documents.parquet' (FORMAT PARQUET)")
+
+    # embeddings: cyclic rotation by shard (norm-preserving)
+    nvec = con.execute(f"SELECT max(vec_id) + 1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+    selects = [
+        (f"SELECT vec_id + {s * nvec} AS vec_id, "
+         f"list_cat(embedding[{s + 1}:], embedding[1:{s}]) AS embedding "
+         f"FROM '{SRC}/embeddings.parquet'")
+        for s in range(SHARDS)
+    ]
+    con.execute("COPY (" + "\nUNION ALL ".join(selects) + f") TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+
+    for t in list(COPY) + list(KEYED) + ["documents", "embeddings"]:
+        n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    main()
