@@ -25,6 +25,7 @@ def extract_stream(
     cfg: ExtractConfig = DEFAULT_CONFIG,
     trigger_available_now: bool = True,
     strategy: str = "relational",
+    catalog: str = "parquet",
 ) -> StreamingQuery:
     """Run the extraction pipeline over a streaming transcripts source.
 
@@ -35,10 +36,17 @@ def extract_stream(
     (a micro-batch retried after a mid-write failure re-executes), so the
     write must be idempotent PER BATCH -- a retry fully rewrites its own
     partition instead of appending a second copy of the spans.
+
+    ``catalog='iceberg'`` lands each micro-batch as an atomic
+    overwrite-partitions snapshot on an Iceberg-format table (replaced =
+    this batch_id), so a retried batch replaces itself atomically and
+    concurrent readers never observe a half-written batch.
     """
 
     if strategy not in ("relational", "fused"):
         raise ValueError(f"unknown strategy {strategy!r}: use 'relational' or 'fused'")
+    if catalog not in ("parquet", "iceberg"):
+        raise ValueError(f"unknown catalog {catalog!r}: use 'parquet' or 'iceberg'")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -47,10 +55,16 @@ def extract_stream(
         from p_id_text_extraction_spark.util import dynamic_partition_overwrite
         plan = (extract_pipeline_fused(batch_df, cfg) if strategy == "fused"
                 else extract_pipeline(batch_df, cfg))
-        with dynamic_partition_overwrite(batch_df.sparkSession):
-            (plan
-             .withColumn("batch_id", F.lit(batch_id))
-             .write.mode("overwrite").partitionBy("batch_id").parquet(output_dir))
+        spans = plan.withColumn("batch_id", F.lit(batch_id))
+        if catalog == "iceberg":
+            from p_id_text_extraction_spark.sources import iceberg as icemod
+            icemod.ensure_table(batch_df.sparkSession, output_dir,
+                                spans.schema, ("batch_id",))
+            icemod.overwrite_span_partitions(
+                spans, output_dir, replaced=[{"batch_id": int(batch_id)}])
+        else:
+            with dynamic_partition_overwrite(batch_df.sparkSession):
+                spans.write.mode("overwrite").partitionBy("batch_id").parquet(output_dir)
 
     writer = stream.writeStream.foreachBatch(process_batch).option("checkpointLocation", checkpoint_dir)
     if trigger_available_now:
