@@ -785,6 +785,14 @@ _DEDUP_COMPONENTS_SQL = f"""
 """
 
 
+def q_dedup_components_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pointer-jumping CC variant (O(log diameter) rounds) over the
+    same dup pairs -- algorithm choice must not change the answer, so it
+    shares the propagate variant's exact transitive-closure oracle."""
+    return dedup.dup_components(
+        dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents")), algorithm="jump")
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.30 on the synthetic
     random vectors; production threshold would be ~0.95) via the
@@ -1325,6 +1333,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
+    "dedup_components_jump": q_dedup_components_jump,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_cosine": q_sim_topk_cosine,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1369,6 +1378,7 @@ ORACLES = {
     "sim_ivf_ann": _SIM_IVF_SQL,
     "sim_ann_recall": _SIM_ANN_RECALL_SQL,
     "dedup_components": _DEDUP_COMPONENTS_SQL,
+    "dedup_components_jump": _DEDUP_COMPONENTS_SQL,
     "multimodal_frame_plan": _MULTIMODAL_FRAME_SQL,
     "multimodal_gate": _MULTIMODAL_GATE_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
