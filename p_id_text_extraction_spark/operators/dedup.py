@@ -370,6 +370,19 @@ def dup_components(pairs: DataFrame, max_iter: int = 15,
             .select("doc_id", F.col("label").alias("component_id"), "component_size"))
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 150,
+                  lo: int = 3, hi: int = 12) -> int:
+    """Occupancy-scaled hyperplane count: enough sign bits that the mean
+    bucket holds ~``target_bucket`` vectors.  LSH cost is
+    O(sum over buckets of bucket^2): a plane count tuned for 2k vectors
+    (r2's fixed 3 planes = 8 buckets/table) puts 2.5k vectors per bucket
+    at a 20k corpus and the candidate join explodes ~100x -- the sf1
+    scale step caught exactly that (disk-filling spill).  Production
+    sizes this from table row-count metadata at index-build time."""
+    import math
+    return max(lo, min(hi, math.ceil(math.log2(max(1.0, n_vectors / target_bucket)))))
+
+
 def lsh_plane_ints(dim: int, n_planes: int, seed: int, scale: int = 1000) -> list[list[int]]:
     """Deterministic integer-milli hyperplanes.  Integer weights (and the
     integer-quantized vectors below) make the sign-bit computation EXACT and
@@ -415,7 +428,8 @@ def _int_sign_bucket(vq: F.Column, planes: list[list[int]]) -> F.Column:
 
 
 def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
-                          method: str = "lsh", n_planes: int = 3, n_tables: int = 8,
+                          method: str = "lsh", n_planes: int | None = None,
+                          n_tables: int = 8,
                           seed: int = 7, quant: int = 100000, dim: int = 64) -> DataFrame:
     """Embedding near-duplicate pairs: cosine >= threshold.
 
@@ -423,8 +437,11 @@ def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
     sign-bit buckets -- candidates only meet bucket-mates via a plain
     EQUI-join on (table, bucket), exact cosine reranks inside the candidate
     set.  Cost is O(sum of bucket^2) instead of O(n^2); recall is tunable
-    via (n_planes, n_tables) and is ~0.85 at cos 0.3 / ~1.0 at cos 0.95
-    with the defaults.  Bucketing is integer-exact (lsh_plane_ints) so a
+    via (n_planes, n_tables).  ``n_planes=None`` sizes the plane count
+    from the corpus row count (auto_n_planes: mean bucket ~150 vectors),
+    because a fixed plane count stops scaling the moment the corpus
+    outgrows it -- bucket occupancy grows linearly and candidate pairs
+    quadratically.  Bucketing is integer-exact (lsh_plane_ints) so a
     SQL oracle reproduces the same candidate set bit-for-bit.
 
     ``method='brute'``: the exhaustive all-pairs nested-loop -- recall 1.0,
@@ -446,6 +463,10 @@ def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
         )
     else:
         check_embedding_dim(embeddings, dim)
+        if n_planes is None:
+            # one column-pruned count; production reads this from table
+            # metadata (Iceberg record counts) at index-build time
+            n_planes = auto_n_planes(embeddings.count())
         # persist the shared corpus projection: it feeds one subtree PER
         # LSH table -- without the cache each union branch re-reads and
         # re-normalizes the whole corpus (n_tables full scans at 100 TB)

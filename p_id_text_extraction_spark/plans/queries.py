@@ -797,8 +797,21 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= 0.30 on the synthetic
     random vectors; production threshold would be ~0.95) via the
     LSH-bucketed scale path: equi-join on (table, sign-bucket), exact
-    cosine rerank inside buckets -- no nested-loop cross join anywhere."""
+    cosine rerank inside buckets -- no nested-loop cross join anywhere.
+    n_planes auto-sizes from the corpus count (3 at sf0.01, matching the
+    static driver oracle; 8 at sf1 -- a fixed 3 planes put 2.5k vectors
+    per bucket there and the candidate join spilled the disk to death)."""
     return dedup.embedding_cosine_dups(_t(spark, sf_dir, "embeddings"), min_cos_milli=300)
+
+
+def emb_cos_dup_sql_for(sf_dir: str) -> str:
+    """sf-adaptive twin: recompute the auto plane count from the SAME
+    corpus row count the Spark side uses, then mint matching plane
+    literals.  The static ORACLES entry (n_planes=3) is what the driver
+    runs at sf0.01, where auto == 3 by construction."""
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'").fetchone()[0]
+    return _emb_cos_dup_sql(n_planes=dedup.auto_n_planes(n))
 
 
 def _emb_cos_dup_sql(min_cos_milli: int = 300, n_planes: int = 3, n_tables: int = 8,
@@ -1388,4 +1401,13 @@ ORACLES = {
     "doc_repetition": _REPETITION_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
     "corpus_stats": _CORPUS_STATS_SQL,
+}
+
+# sf-adaptive twin generators (callable(sf_dir) -> sql) for queries whose
+# tuning scales with corpus size.  The driver consumes the STATIC ORACLES
+# strings at sf0.01, where each adaptive generator reduces to the static
+# twin by construction; tools/check_oracles.py prefers these so scale
+# sweeps (sf1) stay hash-verified too.
+ORACLES_DYNAMIC = {
+    "dedup_embedding_cosine": emb_cos_dup_sql_for,
 }

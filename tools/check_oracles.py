@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-from p_id_text_extraction_spark.plans.queries import ORACLES, QUERIES
+from p_id_text_extraction_spark.plans.queries import ORACLES, ORACLES_DYNAMIC, QUERIES
 from p_id_text_extraction_spark.session import get_spark
 from p_id_text_extraction_spark.util import unpersist_tracked
 
@@ -68,7 +68,9 @@ def main() -> int:
             print(f"[rows-only] {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
             continue
         try:
-            odf = con.execute(ORACLES[name]).df()
+            sql = (ORACLES_DYNAMIC[name](sf_dir)
+                   if name in ORACLES_DYNAMIC else ORACLES[name])
+            odf = con.execute(sql).df()
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL] {name}: duckdb error: {exc}")
             failures += 1
