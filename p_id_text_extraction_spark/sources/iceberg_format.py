@@ -129,21 +129,42 @@ def current_version(table_path: str) -> int:
 def load_metadata(table_path: str, version: int | None = None) -> dict:
     v = current_version(table_path) if version is None else version
     with open(os.path.join(_meta_dir(table_path), f"v{v}.metadata.json")) as f:
-        return json.load(f)
+        meta = json.load(f)
+    # remember the base version this metadata was read at: a commit claims
+    # base+1, so two writers racing from the same base cannot both win
+    meta["_loaded-version"] = v
+    return meta
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first (optimistic concurrency
+    lost the race).  Retry: reload metadata, rebase the change, commit."""
 
 
 def _write_version(table_path: str, meta: dict, version: int) -> None:
-    """Write v<N>.metadata.json then swap version-hint.text -- both via
-    atomic rename, the Hadoop-catalog commit protocol (a reader either
+    """Write v<N>.metadata.json then swap version-hint.text -- the
+    Hadoop-catalog commit protocol.  The version file is claimed with
+    O_EXCL (link-style atomic create): two committers racing from the same
+    base version cannot both win, so a lost update surfaces as
+    CommitConflictError instead of silently dropping the other writer's
+    snapshot.  The hint swap stays an atomic rename -- a reader either
     sees the previous committed version or the new one, never a torn
-    write)."""
+    write."""
     d = _meta_dir(table_path)
     os.makedirs(d, exist_ok=True)
     mpath = os.path.join(d, f"v{version}.metadata.json")
-    tmp = mpath + ".tmp"
+    tmp = f"{mpath}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1)
-    os.replace(tmp, mpath)
+        json.dump({k: v for k, v in meta.items() if not k.startswith("_loaded")},
+                  f, indent=1)
+    try:
+        os.link(tmp, mpath)   # atomic exclusive claim of a COMPLETE file
+    except FileExistsError as exc:
+        raise CommitConflictError(
+            f"metadata version v{version} already committed at {table_path}; "
+            f"reload and retry the commit") from exc
+    finally:
+        os.unlink(tmp)
     hint_tmp = os.path.join(d, "version-hint.text.tmp")
     with open(hint_tmp, "w") as f:
         f.write(str(version))
@@ -311,7 +332,10 @@ def _commit_snapshot(table_path: str, meta: dict, manifest_entries: list[dict],
     }
     if parent not in (-1, None):
         snap["parent-snapshot-id"] = parent
-    version = current_version(table_path)
+    # commit against the version the caller LOADED, not a re-read of the
+    # hint: a stale base must lose the version-file claim, not clobber a
+    # concurrent writer's snapshot
+    version = meta.get("_loaded-version", current_version(table_path))
     meta = dict(meta)
     meta["snapshots"] = meta["snapshots"] + [snap]
     meta["current-snapshot-id"] = snapshot_id

@@ -184,3 +184,20 @@ def test_fused_strategy_through_iceberg(spark, tmp_path):
     b = [tuple(r) for r in ice.read_table(spark, str(tmp_path / "fus"))
          .drop("bucket_id", "job_fingerprint").orderBy(*KEY).collect()]
     assert a == b and a
+
+
+def test_commit_conflict_surfaces_not_lost(spark, table):
+    """Optimistic concurrency: two committers racing from the same base
+    version must not silently drop one snapshot -- the loser gets
+    CommitConflictError (the version file is claimed atomically), and the
+    winner's commit stays intact."""
+    base = ice.load_metadata(table)
+    winner = ice.append_files(table, [])   # claims v3
+    with pytest.raises(ice.CommitConflictError, match="already committed"):
+        # a racer that read `base` before the winner committed re-derives
+        # the same next version number and must lose the claim
+        ice._commit_snapshot(table, base, [], winner["snapshot-id"] + 99,
+                             base["last-sequence-number"] + 1, "append")
+    meta = ice.load_metadata(table)
+    assert meta["current-snapshot-id"] == winner["snapshot-id"]
+    assert ice.read_table(spark, table).count() == 20   # data intact
