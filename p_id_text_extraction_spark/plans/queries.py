@@ -906,6 +906,44 @@ _INTERVAL_JOIN_SQL = """
 """
 
 
+def q_asof_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of join: odd events are 'queries', even events are
+    'state updates'; every query matches the latest state at-or-before its
+    timestamp per user (union + one window -- no range join).  The oracle
+    is DuckDB's native ASOF JOIN, a fully independent implementation of
+    the same semantics.  Equal-ts state rows are pre-deduped to the max
+    event_id so both engines pick the identical row."""
+    from p_id_text_extraction_spark.operators.asof_join import asof_join
+    ev = _t(spark, sf_dir, "events")
+    state = (ev.filter(F.col("event_id") % 2 == 0)
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("state_id"),
+                  F.max_by("value", "event_id").alias("state_value")))
+    queries = ev.filter(F.col("event_id") % 2 == 1).select("user_id", "event_id", "ts")
+    out = asof_join(queries, state, keys=["user_id"],
+                    value_cols=["state_id", "state_value"])
+    return out.select(
+        "user_id", "event_id",
+        F.col("matched_state_id").alias("state_id"),
+        F.floor(F.col("matched_state_value") * 100).cast("long").alias("state_value_cents"),
+    )
+
+
+_ASOF_SQL = """
+    WITH state AS (
+        SELECT user_id, ts, max(event_id) AS state_id,
+               arg_max(value, event_id) AS state_value
+        FROM events WHERE event_id % 2 = 0
+        GROUP BY user_id, ts
+    ),
+    q AS (SELECT user_id, event_id, ts FROM events WHERE event_id % 2 = 1)
+    SELECT q.user_id, q.event_id, s.state_id,
+           CAST(floor(s.state_value * 100) AS BIGINT) AS state_value_cents
+    FROM q ASOF LEFT JOIN state s
+      ON q.user_id = s.user_id AND q.ts >= s.ts
+"""
+
+
 def q_validate_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 dimension-compat check: recorded n_chars vs actual text length."""
     from p_id_text_extraction_spark.operators.validate import dimension_check
@@ -1330,6 +1368,7 @@ QUERIES = {
     "events_hourly_rollup": q_events_hourly_rollup,
     "interval_clusters": q_interval_clusters,
     "interval_join_ranges": q_interval_join,
+    "asof_state_lookup": q_asof_state_lookup,
     "validate_dimensions": q_validate_dimensions,
     "validation_summary": q_validation_summary,
     "cluster_size_histogram": q_cluster_size_histogram,
@@ -1373,6 +1412,7 @@ ORACLES = {
     "events_hourly_rollup": _HOURLY_SQL,
     "interval_clusters": _INTERVAL_CLUSTERS_SQL,
     "interval_join_ranges": _INTERVAL_JOIN_SQL,
+    "asof_state_lookup": _ASOF_SQL,
     "validate_dimensions": _VALIDATE_DIM_SQL,
     "validation_summary": _VALIDATE_SUMMARY_SQL,
     "cluster_size_histogram": _CLUSTER_HIST_SQL,

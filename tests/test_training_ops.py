@@ -376,3 +376,37 @@ def test_operator_caches_released_by_unpersist_tracked(spark, docs_df):
     released = unpersist_tracked()
     assert released >= 2
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: latest right row at-or-before each left
+    timestamp per key; no-preceding-row -> null; tolerance discards stale
+    matches; whole plan shuffles ONCE on the key."""
+    from datetime import datetime as dt
+
+    from p_id_text_extraction_spark.operators.asof_join import asof_join
+    right = spark.createDataFrame(
+        [(1, dt(2026, 1, 1, 0, 0, 10), 100), (1, dt(2026, 1, 1, 0, 0, 20), 200),
+         (2, dt(2026, 1, 1, 0, 0, 15), 150)],
+        "k int, ts timestamp, v int")
+    left = spark.createDataFrame(
+        [(1, 101, dt(2026, 1, 1, 0, 0, 5)),   # before any state -> null
+         (1, 102, dt(2026, 1, 1, 0, 0, 10)),  # exact tie -> inclusive
+         (1, 103, dt(2026, 1, 1, 0, 0, 25)),  # after both -> latest
+         (2, 201, dt(2026, 1, 1, 0, 0, 14))], # other key, before -> null
+        "k int, qid int, ts timestamp")
+    got = {r.qid: (r.matched_v,) for r in
+           asof_join(left, right, keys=["k"], value_cols=["v"]).collect()}
+    assert got == {101: (None,), 102: (100,), 103: (200,), 201: (None,)}
+
+    # tolerance: 103's match (t=20) is 5s old -> kept at 5000ms, dropped at 4000ms
+    tol = {r.qid: r.matched_v for r in
+           asof_join(left, right, keys=["k"], value_cols=["v"],
+                     tolerance_ms=4000).collect()}
+    assert tol[103] is None and tol[102] == 100
+
+    # plan: exactly one hash exchange (the key window) -- no range join
+    plan = (asof_join(left, right, keys=["k"], value_cols=["v"])
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1, plan
