@@ -569,6 +569,56 @@ _CORPUS_STATS_SQL = r"""
 """
 
 
+def q_corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count quantiles (p50/p90/p99), DISCRETE: the
+    element at ceil(p*n) of the sorted list -- pure integer indexing, so
+    both engines pick the identical element (continuous interpolation
+    would hinge on float rounding).  Exact-variant dashboard query: group
+    cardinality is tiny (languages), so the per-group sorted list is
+    bounded; a 100 TB run wanting sub-percent error at huge groups would
+    swap in approx_percentile and lose the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    base = (docs.filter(F.length("text") > 0)
+            .select(textstats.pred_lang_col().alias("pred_lang"),
+                    textstats.n_tokens_col().alias("n_tokens")))
+    agg = base.groupBy("pred_lang").agg(
+        F.sort_array(F.collect_list("n_tokens")).alias("arr"),
+        F.count(F.lit(1)).alias("n_docs"))
+
+    def q(num: int, den: int) -> F.Column:
+        # discrete quantile index: ceil(num*n/den) via integer arithmetic
+        idx = F.floor((F.col("n_docs") * num + (den - 1)) / den).cast("int")
+        return F.element_at("arr", idx)
+
+    return agg.select(
+        "pred_lang", "n_docs",
+        q(1, 2).alias("p50_tokens"), q(9, 10).alias("p90_tokens"),
+        q(99, 100).alias("p99_tokens"))
+
+
+_TOKEN_QUANTILES_SQL = r"""
+    WITH base AS (
+        SELECT CASE WHEN regexp_matches(lower(text), '\b(the|and|of|to)\b') THEN 'en'
+                    WHEN regexp_matches(lower(text), '\b(el|la|de|que)\b') THEN 'es'
+                    WHEN regexp_matches(lower(text), '\b(le|la|et|les)\b') THEN 'fr'
+                    WHEN regexp_matches(lower(text), '\b(der|die|und|das)\b') THEN 'de'
+                    ELSE 'unk' END AS pred_lang,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                    ELSE CAST(len(string_split_regex(trim(coalesce(text, '')), ' +')) AS INT) END AS n_tokens
+        FROM documents WHERE length(text) > 0
+    ),
+    g AS (
+        SELECT pred_lang, list_sort(list(n_tokens)) AS arr, COUNT(*) AS n_docs
+        FROM base GROUP BY pred_lang
+    )
+    SELECT pred_lang, n_docs,
+           arr[CAST((n_docs * 1 + 1) // 2 AS INT)] AS p50_tokens,
+           arr[CAST((n_docs * 9 + 9) // 10 AS INT)] AS p90_tokens,
+           arr[CAST((n_docs * 99 + 99) // 100 AS INT)] AS p99_tokens
+    FROM g
+"""
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-safe train/val split (content-hash bucketed)."""
     return textstats.corpus_split(_t(spark, sf_dir, "documents"))
@@ -1382,6 +1432,7 @@ QUERIES = {
     "corpus_clean": q_corpus_clean,
     "corpus_split": q_corpus_split,
     "corpus_stats": q_corpus_stats,
+    "corpus_token_quantiles": q_corpus_token_quantiles,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
@@ -1441,6 +1492,7 @@ ORACLES = {
     "doc_repetition": _REPETITION_SQL,
     "corpus_split": _CORPUS_SPLIT_SQL,
     "corpus_stats": _CORPUS_STATS_SQL,
+    "corpus_token_quantiles": _TOKEN_QUANTILES_SQL,
 }
 
 # sf-adaptive twin generators (callable(sf_dir) -> sql) for queries whose
