@@ -2,9 +2,14 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side contract (schema, batching, partition sizing) is real and
-tested, while the actual codec work is stubbed: the container has no
-image/audio libraries, so `decode` raises NotImplementedError unless the
-deterministic fake decoder is requested (tests/bench use the fake).
+tested.  Decode is REAL for the container-free formats -- 24-bit
+uncompressed BMP (struct + numpy, no codec library needed) and 16-bit PCM
+WAV -- including a genuine nearest-neighbor resize and pixel/sample
+feature extraction.  Compressed codecs (PNG/JPEG/opus/h264) genuinely
+need libraries absent from this container and still raise
+NotImplementedError; the deterministic fake feature path remains for
+payloads that are not media bytes at all (tests/bench derive them from
+text).
 
 At scale the rules this module encodes:
   * payloads never pass through Python row-at-a-time -- `mapInPandas`
@@ -19,6 +24,7 @@ At scale the rules this module encodes:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -44,13 +50,117 @@ FEATURES_SCHEMA = T.StructType([
 ])
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP from an (H, W, 3) uint8 RGB array -- pure
+    struct packing, rows bottom-up, BGR order, 4-byte row padding."""
+    h, w, c = arr.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += arr[y, :, ::-1].tobytes() + b"\x00" * pad
+    data_offset = 14 + 40
+    filesize = data_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", filesize, 0, 0, data_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (H, W, 3) uint8 RGB.  Validates magic,
+    bit depth, and compression; raises ValueError on anything else."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _magic, _size, _r1, _r2, data_offset = struct.unpack_from("<2sIHHI", payload, 0)
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = ((w * 3 + 3) // 4) * 4
+    arr = (np.frombuffer(payload, np.uint8, count=row * h, offset=data_offset)
+           .reshape(h, row)[:, : w * 3].reshape(h, w, 3))
+    if bottom_up:
+        arr = arr[::-1]
+    return arr[:, :, ::-1].copy()   # BGR -> RGB
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """16-bit PCM WAV from an (n, channels) int16 array."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """16-bit PCM WAV -> (sample_rate, (n, channels) int16 array).  Walks
+    RIFF chunks; raises ValueError for non-PCM or non-16-bit audio."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, ch, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, csize = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8: pos + 8 + csize]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, np.frombuffer(data, "<i2").reshape(-1, ch).copy()
+
+
 def decode_payload(payload: bytes, media_type: str):
-    """Real decoder entry point -- requires codec libraries absent from
-    this container."""
+    """Real decoder for the container-free formats: BMP images ->
+    (H, W, 3) uint8, PCM WAV audio -> (rate, samples).  Compressed codecs
+    genuinely need libraries absent from this container and raise."""
+    if media_type == "image" and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if media_type == "audio" and payload[:4] == b"RIFF":
+        return decode_wav_pcm16(payload)
     raise NotImplementedError(
-        "real image/audio decode needs Pillow/libav, not present in this "
-        "environment; use fake=True for the deterministic stand-in"
+        "compressed-codec decode (PNG/JPEG/opus/h264) needs Pillow/libav, "
+        "not present in this environment; BMP/WAV decode is real, and "
+        "fake=True gives the deterministic stand-in for non-media payloads"
     )
+
+
+def _real_feature(payload: bytes, media_type: str) -> np.ndarray:
+    """Fixed-width FEATURE_DIM summary from REAL decoded media.
+    image: per-channel mean/std (6) + aspect + log-size (2) + 8-bin gray
+    histogram.  audio: mean/std/rms/zero-crossing (4) + 12-bin |amplitude|
+    histogram.  Deterministic: float32 reductions over integer data."""
+    if media_type == "image":
+        arr = decode_bmp(payload).astype(np.float32)
+        h, w, _ = arr.shape
+        gray = arr.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+        feat = np.concatenate([
+            arr.reshape(-1, 3).mean(axis=0) / 255.0,
+            arr.reshape(-1, 3).std(axis=0) / 255.0,
+            [w / max(1, h), np.log1p(float(h * w)) / 20.0],
+            hist / max(1, h * w),
+        ])
+    else:
+        _rate, samples = decode_wav_pcm16(payload)
+        x = samples.astype(np.float32).ravel() / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if x.size > 1 else 0.0
+        hist, _ = np.histogram(np.abs(x), bins=12, range=(0.0, 1.0))
+        feat = np.concatenate([
+            [x.mean(), x.std(), float(np.sqrt(np.mean(x * x))), zc],
+            hist / max(1, x.size),
+        ])
+    return feat.astype(np.float32)[:FEATURE_DIM]
 
 
 def _fake_feature(payload: bytes) -> np.ndarray:
@@ -72,8 +182,9 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             if fake:
                 feats = [_fake_feature(p).tolist() for p in pdf["payload"]]
-            else:  # pragma: no cover - requires codec libs
-                feats = [decode_payload(p, t) for p, t in zip(pdf["payload"], pdf["media_type"])]
+            else:
+                feats = [_real_feature(p, t).tolist()
+                         for p, t in zip(pdf["payload"], pdf["media_type"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
@@ -97,12 +208,13 @@ RESIZE_SCHEMA = T.StructType([
 def resize_images(media: DataFrame, max_dim: int = 512, fake: bool = True) -> DataFrame:
     """Aspect-preserving image resize via mapInPandas.
 
-    The Spark-side contract is real: Arrow batches of (metadata, payload
-    bytes) in, resized payloads + integer target dims out; the pixel work
-    is the stubbed step (no codec libs in this container) -- the fake
-    decoder passes payload bytes through.  Target dims are pure integer
-    arithmetic (floor(dim * max_dim / longest_side), no-op when the image
-    already fits), so they are exactly reproducible by a SQL oracle.
+    Arrow batches of (metadata, payload bytes) in, resized payloads +
+    integer target dims out.  ``fake=False`` does REAL pixel work for BMP
+    payloads (decode -> nearest-neighbor index sample -> re-encode);
+    ``fake=True`` passes payload bytes through (for non-media stand-in
+    payloads).  Target dims are pure integer arithmetic
+    (floor(dim * max_dim / longest_side), no-op when the image already
+    fits), so they are exactly reproducible by a SQL oracle.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -124,10 +236,16 @@ def resize_images(media: DataFrame, max_dim: int = 512, fake: bool = True) -> Da
                     nw, nh = (w * max_dim) // longest, (h * max_dim) // longest
                 tw.append(nw)
                 th.append(nh)
-                if fake:
-                    payloads.append(p)          # pixel work is the stub
-                else:  # pragma: no cover - requires codec libs
-                    payloads.append(decode_payload(p, "image"))
+                if fake or (nw, nh) == (w, h):
+                    payloads.append(p)          # fake path / already fits
+                else:
+                    # REAL resize for BMP: decode, nearest-neighbor
+                    # index-sample, re-encode -- integer index math, fully
+                    # deterministic
+                    arr = decode_bmp(p)
+                    ys = (np.arange(nh) * arr.shape[0]) // nh
+                    xs = (np.arange(nw) * arr.shape[1]) // nw
+                    payloads.append(encode_bmp(arr[ys][:, xs]))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"], "width": pdf["width"], "height": pdf["height"],
                 "target_w": tw, "target_h": th, "payload": payloads,
