@@ -133,9 +133,14 @@ def ivf_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
-                 n_planes: int = 8, n_tables: int = 4, seed: int = 42,
+                 n_planes: int | None = None, n_tables: int = 4, seed: int = 42,
                  dim: int = 64, quant: int = 100000) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH + exact rerank.
+
+    ``n_planes=None`` auto-sizes from the corpus count (floor 8 planes, so
+    small corpora keep the r2 tuning and its static oracle; mean bucket
+    ~128 beyond that) -- per-query rerank cost tracks bucket occupancy,
+    which grows linearly with the corpus at a fixed plane count.
 
     Each vector lands in one bucket per table; query candidates = union of
     its buckets across tables.  Equality join on (table, bucket) -- a plain
@@ -147,10 +152,13 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
     """
     from p_id_text_extraction_spark.operators.dedup import (
         _int_sign_bucket,
+        auto_n_planes,
         check_embedding_dim,
         lsh_plane_ints,
     )
     check_embedding_dim(embeddings, dim)
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count(), target_bucket=128, lo=8, hi=16)
     corpus = embeddings.select("vec_id", _as_double().alias("v")).withColumn("nrm", _norm(F.col("v")))
     # shared projection feeds one subtree per table: cache it or pay
     # n_tables corpus scans (see dedup.embedding_cosine_dups)

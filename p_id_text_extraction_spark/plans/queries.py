@@ -1184,15 +1184,15 @@ def _ann_bucket_union_sql(n_queries: int = 10, n_planes: int = 8, n_tables: int 
     )"""
 
 
-def _sim_lsh_ann_sql(k: int = 5) -> str:
+def _sim_lsh_ann_sql_n(n_planes: int = 8, k: int = 5) -> str:
     return f"""
-    WITH {_ann_bucket_union_sql()}
+    WITH {_ann_bucket_union_sql(n_planes=n_planes)}
     SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, cos_e5
     FROM ranked WHERE rnk <= {k}
 """
 
 
-_SIM_LSH_ANN_SQL = _sim_lsh_ann_sql()
+_SIM_LSH_ANN_SQL = _sim_lsh_ann_sql_n()
 
 
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,9 +1267,9 @@ _SIM_IVF_SQL = """
 """
 
 
-def _sim_ann_recall_sql(k: int = 5, n_queries: int = 10) -> str:
+def _sim_ann_recall_sql_n(n_planes: int = 8, k: int = 5, n_queries: int = 10) -> str:
     return f"""
-    WITH {_ann_bucket_union_sql()},
+    WITH {_ann_bucket_union_sql(n_planes=n_planes)},
     bf AS (
         SELECT nq.vec_id AS query_id, nn.vec_id AS neighbor_id,
                CAST(floor(100000 * list_dot_product(nq.v, nn.v) / (nq.nrm * nn.nrm)) AS BIGINT) AS cos_e5
@@ -1293,7 +1293,7 @@ def _sim_ann_recall_sql(k: int = 5, n_queries: int = 10) -> str:
 """
 
 
-_SIM_ANN_RECALL_SQL = _sim_ann_recall_sql()
+_SIM_ANN_RECALL_SQL = _sim_ann_recall_sql_n()
 
 
 def _media_from_docs(docs: DataFrame) -> DataFrame:
@@ -1500,6 +1500,14 @@ ORACLES = {
 # strings at sf0.01, where each adaptive generator reduces to the static
 # twin by construction; tools/check_oracles.py prefers these so scale
 # sweeps (sf1) stay hash-verified too.
+def _ann_planes_for(sf_dir: str) -> int:
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'").fetchone()[0]
+    return dedup.auto_n_planes(n, target_bucket=128, lo=8, hi=16)
+
+
 ORACLES_DYNAMIC = {
     "dedup_embedding_cosine": emb_cos_dup_sql_for,
+    "sim_lsh_ann": lambda sf_dir: _sim_lsh_ann_sql_n(_ann_planes_for(sf_dir)),
+    "sim_ann_recall": lambda sf_dir: _sim_ann_recall_sql_n(_ann_planes_for(sf_dir)),
 }
