@@ -350,6 +350,80 @@ _SESSIONIZE_SQL = """
 """
 
 
+def q_context_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair context assembly: each event paired with its previous
+    3 event types per user (the sliding-frame collect that builds
+    (context, target) examples from ordered transcripts).  One window,
+    total order (ts, event_id), CSV-serialized context for the hash."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+         .rowsBetween(-3, -1))
+    ctx = F.collect_list("event_type").over(w)
+    return ev.select(
+        "user_id", "event_id",
+        F.array_join(ctx, ",").alias("context_csv"),
+        F.size(ctx).alias("n_context"),
+    )
+
+
+_CONTEXT_WINDOW_SQL = """
+    SELECT user_id, event_id,
+           coalesce(array_to_string(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ','), '') AS context_csv,
+           CAST(len(coalesce(list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), [])) AS INT) AS n_context
+    FROM events
+"""
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str, budget: int = 4096) -> DataFrame:
+    """Streaming sequence packing: fill ``budget``-token bins in doc_id
+    order per language (the standard greedy pre-tokenization packing for
+    LLM training shards).  pack_id = exclusive-cumsum // budget -- one
+    window per language partition, deterministic, and the bin assignment
+    is pure integer arithmetic both engines reproduce exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    base = (docs.filter(F.length("text") > 0)
+            .select("doc_id", textstats.pred_lang_col().alias("pred_lang"),
+                    textstats.n_tokens_col().alias("n_tokens")))
+    w = (Window.partitionBy("pred_lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id", "pred_lang", "n_tokens",
+        F.floor(cum_excl / budget).cast("int").alias("pack_id"),
+        (cum_excl % budget).cast("int").alias("offset_in_pack"),
+    )
+
+
+_CORPUS_PACK_SQL = r"""
+    WITH base AS (
+        SELECT doc_id,
+               CASE WHEN regexp_matches(lower(text), '\b(the|and|of|to)\b') THEN 'en'
+                    WHEN regexp_matches(lower(text), '\b(el|la|de|que)\b') THEN 'es'
+                    WHEN regexp_matches(lower(text), '\b(le|la|et|les)\b') THEN 'fr'
+                    WHEN regexp_matches(lower(text), '\b(der|die|und|das)\b') THEN 'de'
+                    ELSE 'unk' END AS pred_lang,
+               CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                    ELSE CAST(len(string_split_regex(trim(coalesce(text, '')), ' +')) AS INT) END AS n_tokens
+        FROM documents WHERE length(text) > 0
+    ),
+    c AS (
+        SELECT doc_id, pred_lang, n_tokens,
+               coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY pred_lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        FROM base
+    )
+    SELECT doc_id, pred_lang, n_tokens,
+           CAST(cum_excl // 4096 AS INT) AS pack_id,
+           CAST(cum_excl % 4096 AS INT) AS offset_in_pack
+    FROM c
+"""
+
+
 def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join against a checkpoint manifest (J7): manifest =
     orders with o_orderkey % 10 < 3 'already done'."""
@@ -1433,6 +1507,8 @@ QUERIES = {
     "corpus_split": q_corpus_split,
     "corpus_stats": q_corpus_stats,
     "corpus_token_quantiles": q_corpus_token_quantiles,
+    "context_window_pairs": q_context_window_pairs,
+    "corpus_pack": q_corpus_pack,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_components": q_dedup_components,
@@ -1493,6 +1569,8 @@ ORACLES = {
     "corpus_split": _CORPUS_SPLIT_SQL,
     "corpus_stats": _CORPUS_STATS_SQL,
     "corpus_token_quantiles": _TOKEN_QUANTILES_SQL,
+    "context_window_pairs": _CONTEXT_WINDOW_SQL,
+    "corpus_pack": _CORPUS_PACK_SQL,
 }
 
 # sf-adaptive twin generators (callable(sf_dir) -> sql) for queries whose
