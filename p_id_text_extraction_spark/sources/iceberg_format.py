@@ -444,6 +444,63 @@ def snapshot_ids(table_path: str) -> list[int]:
     return [s["snapshot-id"] for s in load_metadata(table_path)["snapshots"]]
 
 
+def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
+    """Snapshot expiration (the table-maintenance op a 10^12-row table
+    cannot live without): drop all but the newest ``keep_last`` snapshots
+    from metadata, then delete every manifest list, manifest, and DATA
+    FILE no surviving snapshot references.  Time travel to an expired
+    snapshot fails afterwards; live reads are untouched.  Returns counts
+    of deleted files per kind."""
+    meta = load_metadata(table_path)
+    snaps = meta["snapshots"]
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot must survive)")
+    kept = snaps[-keep_last:]
+    expired = snaps[:-keep_last]
+    if not expired:
+        return {"snapshots": 0, "manifest_lists": 0, "manifests": 0, "data_files": 0}
+    kept_ids = {s["snapshot-id"] for s in kept}
+    if meta.get("current-snapshot-id") not in kept_ids:
+        raise ValueError("cannot expire the current snapshot")
+
+    def referenced(snapshots: list[dict]) -> tuple[set, set, set]:
+        lists, manifests, datafiles = set(), set(), set()
+        for s in snapshots:
+            lists.add(s["manifest-list"])
+            _sch, ms, _m = avro_io.read_container(s["manifest-list"])
+            for m in ms:
+                manifests.add(m["manifest_path"])
+                _s2, entries, _m2 = avro_io.read_container(m["manifest_path"])
+                for e in entries:
+                    # DELETED tombstones keep the path referenced in the
+                    # manifest but the file itself is only live if some
+                    # KEPT snapshot lists it as non-deleted
+                    if e["status"] != STATUS_DELETED:
+                        datafiles.add(e["data_file"]["file_path"])
+        return lists, manifests, datafiles
+
+    keep_lists, keep_manifests, keep_data = referenced(kept)
+    exp_lists, exp_manifests, exp_data = referenced(expired)
+    counts = {"snapshots": len(expired), "manifest_lists": 0, "manifests": 0,
+              "data_files": 0}
+    for path in exp_lists - keep_lists:
+        os.unlink(path)
+        counts["manifest_lists"] += 1
+    for path in exp_manifests - keep_manifests:
+        os.unlink(path)
+        counts["manifests"] += 1
+    for path in exp_data - keep_data:
+        if os.path.isfile(path):
+            os.unlink(path)
+            counts["data_files"] += 1
+    meta = dict(meta)
+    meta["snapshots"] = kept
+    meta["snapshot-log"] = [e for e in meta["snapshot-log"]
+                            if e["snapshot-id"] in kept_ids]
+    _write_version(table_path, meta, meta["_loaded-version"] + 1)
+    return counts
+
+
 # ---------------------------------------------------------------------------
 # Spark integration: DataFrame write / read through the format
 # ---------------------------------------------------------------------------

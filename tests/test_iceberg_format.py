@@ -201,3 +201,33 @@ def test_commit_conflict_surfaces_not_lost(spark, table):
     meta = ice.load_metadata(table)
     assert meta["current-snapshot-id"] == winner["snapshot-id"]
     assert ice.read_table(spark, table).count() == 20   # data intact
+
+
+def test_expire_snapshots_gc(spark, table):
+    """Snapshot expiration: expired history becomes unreadable, files no
+    surviving snapshot references are deleted from disk (including data
+    files replaced by an overwrite), and live reads are byte-identical
+    before/after."""
+    ice.write_dataframe(_df(spark, [("z1", 2, "new")]), table,
+                        mode="overwrite_partitions", replaced=[{"bucket_id": 2}])
+    ice.write_dataframe(_df(spark, [("w1", 0, "more")]), table, mode="append")
+    snaps = ice.snapshot_ids(table)
+    assert len(snaps) == 3
+    before = sorted(map(tuple, ice.read_table(spark, table).collect()))
+    # replaced bucket-2 files are still on disk (time travel needs them)
+    old_files = {f["file_path"] for f in ice.plan_files(table, snapshot_id=snaps[0])}
+    assert all(os.path.isfile(p) for p in old_files)
+
+    counts = ice.expire_snapshots(table, keep_last=1)
+    assert counts["snapshots"] == 2 and counts["manifest_lists"] == 2
+    assert counts["data_files"] > 0   # the replaced bucket-2 originals
+    assert ice.snapshot_ids(table) == [snaps[-1]]
+    assert sorted(map(tuple, ice.read_table(spark, table).collect())) == before
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        ice.read_table(spark, table, snapshot_id=snaps[0]).collect()
+    # files still referenced by the kept snapshot survive on disk
+    live = {f["file_path"] for f in ice.plan_files(table)}
+    assert all(os.path.isfile(p) for p in live)
+    # idempotent: nothing left to expire
+    again = ice.expire_snapshots(table, keep_last=1)
+    assert again == {"snapshots": 0, "manifest_lists": 0, "manifests": 0, "data_files": 0}
