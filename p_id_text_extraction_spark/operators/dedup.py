@@ -188,17 +188,25 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     domain, then ``num_hashes`` cheap modular permutations folded with
     min().  Returns (doc_id, sig array<bigint>).  Pass precomputed
     ``grams`` (doc_id, grams) or ``hashed`` (doc_id, hg) to share a
-    persisted intermediate."""
+    persisted intermediate.
+
+    Plan shape: ZERO shuffles -- each permutation's min is an array_min
+    over the per-doc hashed shingle array (a projection), not an
+    explode + groupBy aggregate.  Same values by construction (min over
+    the same multiset); docs with no shingles produce no signature row,
+    matching the aggregate formulation."""
     if hashed is None:
         hashed = hashed_gram_arrays(docs, n, grams=grams)
-    sh = hashed.select("doc_id", F.explode("hg").alias("h"))
-    hs = sh.select("doc_id", F.pmod(F.col("h"), F.lit(MINHASH_P)).alias("hh"))
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("hh") + F.lit(b), F.lit(MINHASH_P))).alias(f"h{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
-    ]
-    agg = hs.groupBy("doc_id").agg(*mins)
-    return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    hh = hashed.select(
+        "doc_id",
+        F.transform("hg", lambda h: F.pmod(h, F.lit(MINHASH_P))).alias("hhs"),
+    ).filter(F.size("hhs") > 0)
+    sig = F.array(*[
+        F.array_min(F.transform("hhs", lambda h: F.pmod(F.lit(a) * h + F.lit(b),
+                                                        F.lit(MINHASH_P))))
+        for a, b in minhash_coeffs(num_hashes, seed)
+    ])
+    return hh.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
