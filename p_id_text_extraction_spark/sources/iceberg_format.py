@@ -568,16 +568,47 @@ def write_dataframe(df, table_path: str, mode: str = "append",
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def add_column(table_path: str, name: str, spark_type: str) -> dict:
+    """Schema evolution: append a nullable column as a NEW schema version
+    (new field id, current-schema-id bumped, name mapping extended).
+    Data files written before the evolution project the column as null on
+    read -- the spec's add-column semantics."""
+    meta = load_metadata(table_path)
+    cur = meta["schemas"][meta["current-schema-id"]]
+    if any(f["name"] == name for f in cur["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    if spark_type not in _SPARK_TO_ICEBERG:
+        raise NotImplementedError(f"spark type {spark_type!r}")
+    new_id = meta["last-column-id"] + 1
+    fields = cur["fields"] + [{"id": new_id, "name": name, "required": False,
+                               "type": _SPARK_TO_ICEBERG[spark_type]}]
+    schema = {"schema-id": len(meta["schemas"]), "type": "struct", "fields": fields}
+    meta = dict(meta)
+    meta["schemas"] = meta["schemas"] + [schema]
+    meta["current-schema-id"] = schema["schema-id"]
+    meta["last-column-id"] = new_id
+    meta["properties"] = {**meta["properties"],
+                          "schema.name-mapping.default": _name_mapping(fields)}
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_version(table_path, meta, meta["_loaded-version"] + 1)
+    return schema
+
+
 def read_table(spark, table_path: str, snapshot_id: int | None = None,
                partition_filter: dict | None = None):
     """Plan the scan through snapshot metadata and read the planned parquet
     files; identity partition columns are reconstituted via basePath
-    discovery.  An empty table yields an empty DataFrame with the table
+    discovery.  Reads are SCHEMA-STABLE: the current table schema is
+    passed explicitly, so files predating an add-column evolution project
+    the new column as null instead of being dropped by parquet schema
+    inference.  An empty table yields an empty DataFrame with the table
     schema."""
     files = plan_files(table_path, snapshot_id, partition_filter)
     meta = load_metadata(table_path)
     fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    ddl = iceberg_schema_to_spark_ddl(fields)
     if not files:
-        return spark.createDataFrame([], iceberg_schema_to_spark_ddl(fields))
-    return (spark.read.option("basePath", os.path.join(table_path, "data"))
+        return spark.createDataFrame([], ddl)
+    return (spark.read.schema(ddl)
+            .option("basePath", os.path.join(table_path, "data"))
             .parquet(*[f["file_path"] for f in files]))

@@ -231,3 +231,26 @@ def test_expire_snapshots_gc(spark, table):
     # idempotent: nothing left to expire
     again = ice.expire_snapshots(table, keep_last=1)
     assert again == {"snapshots": 0, "manifest_lists": 0, "manifests": 0, "data_files": 0}
+
+
+def test_schema_evolution_add_column(spark, table):
+    """add_column bumps the schema version; files written BEFORE the
+    evolution project the new column as null (schema-stable reads), files
+    written after carry real values, and the name mapping covers the new
+    field id."""
+    ice.add_column(table, "score", "double")
+    meta = ice.load_metadata(table)
+    assert meta["current-schema-id"] == 1 and len(meta["schemas"]) == 2
+    mapping = json.loads(meta["properties"]["schema.name-mapping.default"])
+    assert any(m["names"] == ["score"] for m in mapping)
+
+    newer = spark.createDataFrame([("n1", 0, "scored", 0.75)],
+                                  "conv_id string, bucket_id int, text string, score double")
+    ice.write_dataframe(newer, table, mode="append")
+    df = ice.read_table(spark, table)
+    # Spark appends discovered partition columns after the data schema
+    assert df.columns == ["conv_id", "text", "score", "bucket_id"]
+    rows = {r.conv_id: r.score for r in df.collect()}
+    assert rows["n1"] == 0.75
+    assert all(v is None for k, v in rows.items() if k != "n1")   # pre-evolution files
+    assert df.count() == 21
