@@ -455,3 +455,37 @@ def test_real_feature_and_resize_on_bmp(spark):
     resized = multimodal.decode_bmp(bytes(out.payload))
     assert resized.shape == (2, 3, 3)
     assert (resized == [200, 100, 50]).all()
+
+
+def test_asof_join_matches_bruteforce_on_random_inputs(spark):
+    """Property check: the windowed as-of join equals the per-row
+    brute-force definition (latest right ts <= left ts per key, max
+    payload on ties) over a randomized dense key/ts grid with duplicate
+    timestamps on both sides."""
+    import random
+
+    from p_id_text_extraction_spark.operators.asof_join import asof_join
+    rng = random.Random(7)
+    rights = [(k, rng.randint(0, 50), rng.randint(0, 999))
+              for k in range(4) for _ in range(30)]
+    lefts = [(k, i, rng.randint(0, 55))
+             for k in range(5) for i in range(40)]   # key 4 has no right rows
+    rdf = spark.createDataFrame(
+        [(k, __import__("datetime").datetime(2026, 1, 1, 0, 0, t), v) for k, t, v in rights],
+        "k int, ts timestamp, v int")
+    ldf = spark.createDataFrame(
+        [(k, i, __import__("datetime").datetime(2026, 1, 1, 0, 0, t)) for k, i, t in lefts],
+        "k int, qid int, ts timestamp")
+    got = {r.qid * 10 + r.k: (r.matched_v,)
+           for r in asof_join(ldf, rdf, keys=["k"], value_cols=["v"]).collect()}
+
+    def brute(k, t):
+        cands = [(rt, rv) for rk, rt, rv in rights if rk == k and rt <= t]
+        if not cands:
+            return None
+        best_ts = max(rt for rt, _ in cands)
+        # operator contract: equal-ts ties resolve to the greatest payload
+        return max(rv for rt, rv in cands if rt == best_ts)
+
+    want = {qid * 10 + k: (brute(k, t),) for k, qid, t in lefts}
+    assert got == want
