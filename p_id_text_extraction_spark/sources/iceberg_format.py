@@ -444,6 +444,40 @@ def snapshot_ids(table_path: str) -> list[int]:
     return [s["snapshot-id"] for s in load_metadata(table_path)["snapshots"]]
 
 
+def plan_files_incremental(table_path: str, from_snapshot: int,
+                           to_snapshot: int | None = None) -> list[dict]:
+    """Incremental scan: data files ADDED strictly after ``from_snapshot``
+    up to ``to_snapshot`` (default: current) -- the consume-only-new-data
+    pattern a downstream training pipeline polls with (Iceberg's
+    incremental append scan).  Files deleted again within the range are
+    excluded; commits that only deleted files contribute nothing."""
+    meta = load_metadata(table_path)
+    snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if from_snapshot not in snaps:
+        raise ValueError(f"unknown from_snapshot {from_snapshot}")
+    end = meta.get("current-snapshot-id") if to_snapshot is None else to_snapshot
+    if end not in snaps:
+        raise ValueError(f"unknown to_snapshot {end}")
+    from_seq = snaps[from_snapshot]["sequence-number"]
+    end_files = {f["file_path"]: f for f in plan_files(table_path, snapshot_id=end)}
+    # a file is "new" iff it is live at `end` and was added after from_seq;
+    # added-then-deleted files are not live at end, added-before files
+    # have sequence numbers <= from_seq in the end snapshot's manifests
+    _sch, manifests, _m = avro_io.read_container(snaps[end]["manifest-list"])
+    out = []
+    for m in manifests:
+        if m["sequence_number"] <= from_seq and m["min_sequence_number"] <= from_seq:
+            # manifest predates the range AND carries no newer entries
+            continue
+        _s2, entries, _m2 = avro_io.read_container(m["manifest_path"])
+        for e in entries:
+            if (e["status"] != STATUS_DELETED
+                    and (e["sequence_number"] or 0) > from_seq
+                    and e["data_file"]["file_path"] in end_files):
+                out.append(e["data_file"])
+    return sorted(out, key=lambda d: d["file_path"])
+
+
 def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
     """Snapshot expiration (the table-maintenance op a 10^12-row table
     cannot live without): drop all but the newest ``keep_last`` snapshots

@@ -254,3 +254,28 @@ def test_schema_evolution_add_column(spark, table):
     assert rows["n1"] == 0.75
     assert all(v is None for k, v in rows.items() if k != "n1")   # pre-evolution files
     assert df.count() == 21
+
+
+def test_incremental_scan_between_snapshots(spark, table):
+    """plan_files_incremental returns exactly the files added after the
+    cursor snapshot and still live: appends show up, carried-forward
+    history does not, overwritten-within-range files drop out."""
+    s1 = ice.load_metadata(table)["current-snapshot-id"]
+    ice.write_dataframe(_df(spark, [("n1", 1, "batch2"), ("n2", 2, "batch2")]),
+                        table, mode="append")
+    s2 = ice.load_metadata(table)["current-snapshot-id"]
+    inc = ice.plan_files_incremental(table, from_snapshot=s1)
+    assert sum(f["record_count"] for f in inc) == 2
+    # cursor at s2: nothing new yet
+    assert ice.plan_files_incremental(table, from_snapshot=s2) == []
+    # an overwrite replacing partition 2 WITHIN the range: n2's file is no
+    # longer live at the end snapshot, the replacement is
+    ice.write_dataframe(_df(spark, [("r1", 2, "repl")]), table,
+                        mode="overwrite_partitions", replaced=[{"bucket_id": 2}])
+    inc2 = ice.plan_files_incremental(table, from_snapshot=s1)
+    rows = sorted(r.conv_id for f in inc2 for r in
+                  spark.read.parquet(f["file_path"]).collect())
+    assert rows == ["n1", "r1"]
+    # bounded range [s1, s2] still sees the pre-overwrite pair
+    inc3 = ice.plan_files_incremental(table, from_snapshot=s1, to_snapshot=s2)
+    assert sum(f["record_count"] for f in inc3) == 2
