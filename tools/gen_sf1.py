@@ -41,17 +41,21 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 SHARDS = 10
 
+# table -> {column: key domain}.  Offsets are computed PER DOMAIN (max
+# over every participating column + 1), so foreign keys stay consistent
+# across shards -- a per-table max would let orders.o_orderkey and
+# lineitem.l_orderkey drift if the top order had no line items.
 KEYED = {
-    # table -> columns to offset per shard
-    "customer": ["c_custkey", "c_nationkey"],
-    "supplier": ["s_suppkey", "s_nationkey"],
-    "part": ["p_partkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
-    "events": ["event_id", "user_id"],
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
+                 "l_suppkey": "suppkey"},
+    "events": {"event_id": "eventkey", "user_id": "userkey"},
 }
-# foreign keys into fixed dims must NOT be offset
-NO_OFFSET = {"c_nationkey", "s_nationkey", "l_linenumber"}
+# foreign keys into fixed dims (nation) and within-parent ordinals
+# (l_linenumber) are NOT offset
 COPY = ["region", "nation"]
 
 
@@ -87,18 +91,22 @@ def main() -> None:
     for t in COPY:
         con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{out}/{t}.parquet' (FORMAT PARQUET)")
 
-    for t, keys in KEYED.items():
+    # per-domain offsets: max over every column in the domain, +1
+    domain_off: dict[str, int] = {}
+    for t, keymap in KEYED.items():
+        for col, dom in keymap.items():
+            mx = con.execute(f"SELECT max({col}) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+            domain_off[dom] = max(domain_off.get(dom, 0), int(mx) + 1)
+
+    for t, keymap in KEYED.items():
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
-        offs = {k: con.execute(
-            f"SELECT max({k}) + 1 FROM '{SRC}/{t}.parquet'").fetchone()[0]
-            for k in keys if k not in NO_OFFSET}
         selects = []
         for shard in range(SHARDS):
             exprs = []
             for c in cols:
-                if c in offs:
-                    exprs.append(f"{c} + {shard * offs[c]} AS {c}")
+                if c in keymap:
+                    exprs.append(f"{c} + {shard * domain_off[keymap[c]]} AS {c}")
                 else:
                     exprs.append(c)
             selects.append(f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'")
