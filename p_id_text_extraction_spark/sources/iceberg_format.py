@@ -227,6 +227,16 @@ def _partition_avro_schema(meta: dict) -> dict:
     return {"type": "record", "name": "r102", "fields": pfields}
 
 
+def _bounds_avro_type(name: str) -> dict:
+    # Iceberg's map<int, binary> bounds are a "logical map": an array of
+    # key/value records keyed by field id
+    return {"type": "array", "logical-type": "map", "items": {
+        "type": "record", "name": name,
+        "fields": [{"name": "key", "type": "int", "field-id": 117 if name == "k117_v118" else 119},
+                   {"name": "value", "type": "bytes",
+                    "field-id": 118 if name == "k117_v118" else 120}]}}
+
+
 def _manifest_entry_schema(meta: dict) -> dict:
     return {
         "type": "record", "name": "manifest_entry",
@@ -244,10 +254,46 @@ def _manifest_entry_schema(meta: dict) -> dict:
                     {"name": "partition", "type": _partition_avro_schema(meta), "field-id": 102},
                     {"name": "record_count", "type": "long", "field-id": 103},
                     {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                    {"name": "lower_bounds", "type": ["null", _bounds_avro_type("k117_v118")],
+                     "default": None, "field-id": 125},
+                    {"name": "upper_bounds", "type": ["null", _bounds_avro_type("k119_v120")],
+                     "default": None, "field-id": 128},
                 ],
             }},
         ],
     }
+
+
+# single-value binary serialization for bounds (Iceberg spec appendix D):
+# little-endian for numeric types, UTF-8 for strings
+def encode_bound(value, iceberg_type: str) -> bytes:
+    import struct as _s
+    if iceberg_type == "int":
+        return _s.pack("<i", int(value))
+    if iceberg_type == "long":
+        return _s.pack("<q", int(value))
+    if iceberg_type == "float":
+        return _s.pack("<f", float(value))
+    if iceberg_type == "double":
+        return _s.pack("<d", float(value))
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    raise NotImplementedError(f"bound type {iceberg_type!r}")
+
+
+def decode_bound(raw: bytes, iceberg_type: str):
+    import struct as _s
+    if iceberg_type == "int":
+        return _s.unpack("<i", raw)[0]
+    if iceberg_type == "long":
+        return _s.unpack("<q", raw)[0]
+    if iceberg_type == "float":
+        return _s.unpack("<f", raw)[0]
+    if iceberg_type == "double":
+        return _s.unpack("<d", raw)[0]
+    if iceberg_type == "string":
+        return raw.decode("utf-8")
+    raise NotImplementedError(f"bound type {iceberg_type!r}")
 
 
 _MANIFEST_FILE_SCHEMA = {
@@ -415,10 +461,14 @@ def overwrite_partitions(table_path: str, replaced: list[dict],
 
 
 def plan_files(table_path: str, snapshot_id: int | None = None,
-               partition_filter: dict | None = None) -> list[dict]:
+               partition_filter: dict | None = None,
+               column_range_filter: dict | None = None) -> list[dict]:
     """Snapshot -> manifest list -> manifests -> live data files, with
-    partition pruning.  Returns data_file dicts (file_path, partition,
-    record_count, file_size_in_bytes)."""
+    partition pruning AND column-bounds file skipping
+    (``column_range_filter``: {col: (lo, hi)} inclusive -- a file whose
+    footer min/max range is disjoint never gets opened).  Returns
+    data_file dicts (file_path, partition, record_count,
+    file_size_in_bytes, bounds)."""
     meta = load_metadata(table_path)
     sid = meta.get("current-snapshot-id", -1) if snapshot_id is None else snapshot_id
     if sid in (-1, None):
@@ -426,6 +476,24 @@ def plan_files(table_path: str, snapshot_id: int | None = None,
     snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == sid), None)
     if snap is None:
         raise ValueError(f"unknown snapshot id {sid} for {table_path}")
+    fields = {f["name"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    ranges = {}
+    for col, (lo, hi) in (column_range_filter or {}).items():
+        f = fields.get(col)
+        if f is None or not isinstance(f["type"], str) or f["type"] not in _BOUND_TYPES:
+            raise ValueError(f"column_range_filter: no bound-typed column {col!r}")
+        ranges[f["id"]] = (f["type"], lo, hi)
+
+    def pruned_by_bounds(df: dict) -> bool:
+        lb = {e["key"]: e["value"] for e in (df.get("lower_bounds") or [])}
+        ub = {e["key"]: e["value"] for e in (df.get("upper_bounds") or [])}
+        for fid, (t, lo, hi) in ranges.items():
+            if fid in lb and decode_bound(lb[fid], t) > hi:
+                return True
+            if fid in ub and decode_bound(ub[fid], t) < lo:
+                return True
+        return False   # missing bounds => cannot prune, must read
+
     _schema, manifests, _m = avro_io.read_container(snap["manifest-list"])
     out: list[dict] = []
     for m in manifests:
@@ -435,6 +503,8 @@ def plan_files(table_path: str, snapshot_id: int | None = None,
                 continue
             part = e["data_file"]["partition"]
             if partition_filter and any(part.get(k) != v for k, v in partition_filter.items()):
+                continue
+            if ranges and pruned_by_bounds(e["data_file"]):
                 continue
             out.append(e["data_file"])
     return sorted(out, key=lambda d: d["file_path"])
@@ -540,6 +610,37 @@ def expire_snapshots(table_path: str, keep_last: int = 1) -> dict:
 # ---------------------------------------------------------------------------
 
 
+_BOUND_TYPES = ("int", "long", "float", "double", "string")
+
+
+def _file_bounds(md, schema_fields: dict) -> tuple[list | None, list | None]:
+    """Per-file column bounds from the parquet footer statistics (the
+    Iceberg lower_bounds/upper_bounds maps, keyed by field id) -- what
+    makes file-level data skipping possible beyond partition pruning."""
+    names = {md.schema.column(j).path: j for j in range(md.num_columns)}
+    lowers, uppers = {}, {}
+    for f in schema_fields.values():
+        if not isinstance(f["type"], str) or f["type"] not in _BOUND_TYPES:
+            continue
+        j = names.get(f["name"])
+        if j is None:
+            continue
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(j).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            lowers[f["id"]] = encode_bound(min(mins), f["type"])
+            uppers[f["id"]] = encode_bound(max(maxs), f["type"])
+    lb = [{"key": k, "value": v} for k, v in sorted(lowers.items())]
+    ub = [{"key": k, "value": v} for k, v in sorted(uppers.items())]
+    return (lb or None), (ub or None)
+
+
 def _stage_datafiles(df, table_path: str, partition_cols: tuple[str, ...],
                      seq_tag: str) -> list[dict]:
     """Write df via Spark's parquet writer into the table's data dir and
@@ -572,11 +673,15 @@ def _stage_datafiles(df, table_path: str, partition_cols: tuple[str, ...],
             os.makedirs(dest_dir, exist_ok=True)
             dest = os.path.join(dest_dir, f"{seq_tag}-{fname}")
             os.replace(src, dest)
+            md = pq.ParquetFile(dest).metadata
+            lower, upper = _file_bounds(md, schema_fields)
             datafiles.append({
                 "file_path": dest,
                 "partition": partition,
-                "record_count": pq.ParquetFile(dest).metadata.num_rows,
+                "record_count": md.num_rows,
                 "file_size_in_bytes": os.path.getsize(dest),
+                "lower_bounds": lower,
+                "upper_bounds": upper,
             })
     import shutil
     shutil.rmtree(staging, ignore_errors=True)

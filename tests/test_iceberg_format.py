@@ -48,6 +48,17 @@ def test_avro_files_readable_by_jvm_avro(spark, table):
     avro_files = [os.path.join(meta_dir, f) for f in os.listdir(meta_dir)
                   if f.endswith(".avro")]
     assert len(avro_files) >= 2   # manifest + manifest list
+    def norm(x):
+        # the JVM's toString encodes Avro bytes as an ISO-8859-1 JSON
+        # string; normalize python bytes the same way for comparison
+        if isinstance(x, bytes):
+            return x.decode("latin-1")
+        if isinstance(x, dict):
+            return {k: norm(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [norm(v) for v in x]
+        return x
+
     for path in avro_files:
         _schema, py_records, _m = avro_io.read_container(path)
         reader = jvm.org.apache.avro.file.DataFileReader(
@@ -56,7 +67,7 @@ def test_avro_files_readable_by_jvm_avro(spark, table):
         while reader.hasNext():
             jvm_records.append(json.loads(str(reader.next())))
         reader.close()
-        assert jvm_records == py_records, path
+        assert jvm_records == norm(py_records), path
 
 
 def test_metadata_v2_shape_and_commit_protocol(table):
@@ -279,3 +290,30 @@ def test_incremental_scan_between_snapshots(spark, table):
     # bounded range [s1, s2] still sees the pre-overwrite pair
     inc3 = ice.plan_files_incremental(table, from_snapshot=s1, to_snapshot=s2)
     assert sum(f["record_count"] for f in inc3) == 2
+
+
+def test_column_bounds_data_skipping(spark, tmp_path):
+    """Manifests record per-file column bounds from the parquet footers;
+    a range filter prunes files at PLANNING time (no parquet opened) and
+    the surviving files still contain every matching row."""
+    path = str(tmp_path / "btbl")
+    df = spark.createDataFrame(
+        [(i, f"c{i:04d}", i * 10) for i in range(40)],
+        "seq long, conv_id string, score long")
+    ice.create_table(path, df.schema)
+    # two appends -> multiple files with disjoint-ish seq ranges
+    ice.write_dataframe(df.filter("seq < 20").repartition(2, "seq"), path, mode="append")
+    ice.write_dataframe(df.filter("seq >= 20").repartition(2, "seq"), path, mode="append")
+    all_files = ice.plan_files(path)
+    assert all(f.get("lower_bounds") and f.get("upper_bounds") for f in all_files)
+
+    planned = ice.plan_files(path, column_range_filter={"seq": (35, 39)})
+    assert 0 < len(planned) < len(all_files)   # skipped at planning time
+    got = sorted(r.seq for f in planned for r in
+                 spark.read.parquet(f["file_path"]).filter("seq BETWEEN 35 AND 39").collect())
+    assert got == list(range(35, 40))
+    # string bounds work too
+    planned_s = ice.plan_files(path, column_range_filter={"conv_id": ("c0000", "c0001")})
+    assert 0 < len(planned_s) < len(all_files)
+    with pytest.raises(ValueError, match="no bound-typed column"):
+        ice.plan_files(path, column_range_filter={"nope": (1, 2)})
