@@ -80,9 +80,10 @@ def test_dup_components_one_action_per_iteration(spark):
     each round's checkpoint, not run a second label-diff job.  A triangle
     clique converges in exactly 2 iterations; with the fused convergence
     count the whole loop (init checkpoint + 2 rounds, AQE stage jobs
-    included) stays within 13 Spark jobs -- the split-action shape of the
-    same loop measures 18 on this session config, so a regression that
-    reintroduces a per-round second action trips this bound."""
+    included) stays within 15 Spark jobs (measured 12; the bound leaves
+    AQE-under-load headroom) -- the split-action shape of the same loop
+    measures 18 on this session config, so a regression that
+    reintroduces a per-round second action still trips this bound."""
     sc = spark.sparkContext
     pairs = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "doc_a long, doc_b long")
     pairs.collect()   # materialize input outside the measured group
@@ -94,7 +95,7 @@ def test_dup_components_one_action_per_iteration(spark):
     got = {r.doc_id: r.component_id for r in df.collect()}
     assert got == {1: 1, 2: 1, 3: 1}
     loop_jobs = len(sc.statusTracker().getJobIdsForGroup("cc-loop-jobs"))
-    assert 0 < loop_jobs <= 13, f"iteration loop ran {loop_jobs} jobs"
+    assert 0 < loop_jobs <= 15, f"iteration loop ran {loop_jobs} jobs"
 
 
 def test_lsh_rejects_dim_mismatch(spark):
