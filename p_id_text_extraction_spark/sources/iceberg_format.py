@@ -734,7 +734,8 @@ def add_column(table_path: str, name: str, spark_type: str) -> dict:
 
 
 def read_table(spark, table_path: str, snapshot_id: int | None = None,
-               partition_filter: dict | None = None):
+               partition_filter: dict | None = None,
+               column_range_filter: dict | None = None):
     """Plan the scan through snapshot metadata and read the planned parquet
     files; identity partition columns are reconstituted via basePath
     discovery.  Reads are SCHEMA-STABLE: the current table schema is
@@ -742,7 +743,8 @@ def read_table(spark, table_path: str, snapshot_id: int | None = None,
     the new column as null instead of being dropped by parquet schema
     inference.  An empty table yields an empty DataFrame with the table
     schema."""
-    files = plan_files(table_path, snapshot_id, partition_filter)
+    files = plan_files(table_path, snapshot_id, partition_filter,
+                       column_range_filter=column_range_filter)
     meta = load_metadata(table_path)
     fields = meta["schemas"][meta["current-schema-id"]]["fields"]
     ddl = iceberg_schema_to_spark_ddl(fields)

@@ -315,6 +315,10 @@ def test_column_bounds_data_skipping(spark, tmp_path):
     # string bounds work too
     planned_s = ice.plan_files(path, column_range_filter={"conv_id": ("c0000", "c0001")})
     assert 0 < len(planned_s) < len(all_files)
+    # the table-level read API applies the same pruning, semantics intact
+    got_rd = ice.read_table(spark, path, column_range_filter={"seq": (35, 39)})
+    assert sorted(r.seq for r in got_rd.filter("seq BETWEEN 35 AND 39").collect()) \
+        == list(range(35, 40))
     with pytest.raises(ValueError, match="no bound-typed column"):
         ice.plan_files(path, column_range_filter={"nope": (1, 2)})
 
