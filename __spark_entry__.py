@@ -31,9 +31,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twins.  Omitted ONLY for the two pandas-UDF
-    extraction strategies (extract_full / extract_fused), whose byte-level
-    equality is pinned by the golden tests instead; every other query --
-    including the MinHash/SimHash/LSH sketches, via engine-portable
-    md5-derived hashing -- is value-hash-checked."""
+    """DuckDB-runnable ANSI-SQL twins -- one per query, INCLUDING the two
+    pandas-UDF extraction strategies: _EXTRACT_FULL_SQL mirrors every
+    pipeline stage (segment -> line-feature detect -> suppress -> cluster
+    -> merge -> crop -> normalize -> coord -> rank) for the corpus's
+    payload classes (plain/markdown, where parse is the identity;
+    tests/test_documents_equality.py pins that scope and proves the twin
+    on an adversarial multi-line corpus).  The sketch queries
+    (MinHash/SimHash/LSH) twin via engine-portable md5-derived hashing."""
     return dict(ORACLES)

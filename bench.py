@@ -364,9 +364,22 @@ def main() -> None:
 
     queries_sf1, scale_step = {}, {}
     if BENCH_SF1:
-        if not os.path.isdir(SF1_DIR):
+        # reuse only a COMPLETE derived dataset (gen_sf1 writes _COMPLETE
+        # last): a partially written dir from a crashed run, or a stale
+        # one from older source data, silently skews the scale-step
+        # ratios.  Regeneration goes through a temp dir + atomic rename.
+        marker = os.path.join(SF1_DIR, "_COMPLETE")
+        stale = os.path.isfile(marker) and (
+            json.load(open(marker)).get("source") != SF_DIR)
+        if not os.path.isfile(marker) or stale:
+            import shutil
+            tmp = SF1_DIR + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
             subprocess.run([sys.executable, os.path.join(REPO, "tools", "gen_sf1.py"),
-                            SF1_DIR], check=True, timeout=1200)
+                            tmp], check=True, timeout=1200,
+                           env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR})
+            shutil.rmtree(SF1_DIR, ignore_errors=True)
+            os.replace(tmp, SF1_DIR)
         # one sweep at 10x the rows: the scale step the small-sf sweeps
         # can't see (posting caps, bucket occupancy, shuffle sizing)
         queries_sf1 = time_queries(spark, SF1_DIR, sweeps=1)

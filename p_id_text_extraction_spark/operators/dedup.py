@@ -352,17 +352,19 @@ def dup_components(pairs: DataFrame, max_iter: int = 15,
                                  F.col("label").alias("ref_label"))
             stepped = (stepped.join(ref, stepped["label"] == ref["ref_id"])
                        .select("doc_id", F.col("ref_label").alias("label"), "old"))
-        # LAZY checkpoint + an RDD-level sum of the inline change flags:
-        # the sum's single job both materializes the checkpoint (lineage
-        # cut) and answers the convergence question -- labels only ever
-        # decrease, so changed == (new < old) count
+        # LAZY checkpoint + a JVM-side sum of the inline change flags:
+        # the aggregate's single action both materializes the checkpoint
+        # (lineage cut) and answers the convergence question -- labels
+        # only ever decrease, so changed == (new < old) count.  Kept as
+        # a codegen aggregate, never .rdd: pulling the label table
+        # through Python Rows would be O(V) serialization per round.
         step = (
             stepped
             .select("doc_id", "label",
                     (F.col("label") < F.col("old")).cast("long").alias("chg"))
             .localCheckpoint(eager=False)
         )
-        changed = step.rdd.map(lambda r: r[2]).sum()
+        changed = step.agg(F.sum("chg")).collect()[0][0] or 0
         labels = step.select("doc_id", "label")
         if changed == 0:
             break

@@ -10,11 +10,12 @@ for cross-engine value-hash equality:
   * array outputs serialized as sorted CSV strings;
   * ranking outputs carry integer ranks, never raw float scores.
 
-Only the two pandas-UDF extraction strategies have no ORACLES entry (the
-kernel is not SQL-expressible); they get the driver's rows-only check and
-byte-level golden tests instead.  Everything else -- including the
-MinHash/SimHash/LSH sketches via engine-portable md5-derived hashing and
-integer-exact LSH sign buckets -- is value-hash-checked against DuckDB.
+Every query has an ORACLES entry -- including the two pandas-UDF
+extraction strategies, whose _EXTRACT_FULL_SQL twin mirrors the whole
+pipeline stage-by-stage for the corpus's payload classes (plain/markdown;
+see the twin's comment block for the honest scope and the float rules).
+The sketches (MinHash/SimHash/LSH) twin via engine-portable md5-derived
+hashing and integer-exact LSH sign buckets.
 
 Cache policy: some operators cache a multi-consumer intermediate (shingle
 arrays, quantized corpus projections) via util.track_persist
@@ -65,6 +66,206 @@ def q_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_pipeline_golden.py."""
     turns = derive_transcripts_from_documents(spark, sf_dir)
     return extract_pipeline_fused(turns).withColumn("provenance", F.array_join("provenance", ","))
+
+
+# --- full-pipeline SQL twin ------------------------------------------------
+# DuckDB mirror of EVERY stage of the extraction pipeline -- parse ->
+# segment -> per-line detect (features, boiler/code classification, run
+# merging with the spec's exact prev_end/rstrip end semantics) -> suppress
+# -> cluster -> merge -> crop (line-bound clamped) -> normalize -> coord ->
+# rank -- so the flagship queries get the driver's full rows+schema+hash
+# check instead of rows-only.
+#
+# Payload-class coverage (honest scope): the twin mirrors parse_payload for
+# the 'plain' and 'markdown' classes, where parse is the identity
+# (oracle/spec.py:77-111 -- only 'html' and 'tool_json' payloads rewrite
+# the canvas).  The driver's documents corpus contains only plain payloads
+# (single-line ASCII [0-9A-Za-z ] text; tests/test_documents_equality.py
+# pins that profile, so corpus drift fails loudly instead of silently
+# hash-mismatching).  Line features assume ASCII text: Python's \\w on
+# ASCII == [0-9A-Za-z_], and str.strip() == the explicit 5-char
+# whitespace set below (a line never contains \\n post-split).
+#
+# Cross-engine float rules: start_norm = round(start*0.12, 4) in Spark is
+# bit-equal to CAST(start*12 AS DOUBLE)/100 (verified exhaustively for
+# start in 0..5000: the exact product has <=2 decimals, so HALF_UP at 4
+# decimals is the identity and IEEE division is correctly rounded).
+# DuckDB's own round() returns DECIMAL -- never use it for double twins.
+
+_MINAL = DEFAULT_CONFIG.min_alnum_density_milli   # 550
+_MAXSEP = DEFAULT_CONFIG.max_sep_density_milli    # 150
+_CONF = DEFAULT_CONFIG.conf_threshold_milli       # 950
+# Python str.strip() whitespace minus \n (which cannot survive the line
+# split), and prev_end's space-tab-only set (oracle/spec.py:356-361)
+_WS_SET = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
+_ST_SET = "' ' || chr(9)"
+
+_EXTRACT_FULL_SQL = f"""
+WITH turns AS (
+    SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 6, '0') AS conv_id,
+           CAST(floor(doc_id / 50) AS INT) AS turn_idx,
+           text AS norm_text,
+           length(text) AS n
+    FROM documents
+    WHERE text IS NOT NULL AND length(trim(text, {_WS_SET} || chr(10))) > 0
+),
+blocks AS (
+    SELECT conv_id, turn_idx, norm_text, n,
+           CAST(k AS INT) AS block_idx,
+           CAST(CASE WHEN n <= {_B} THEN 0 WHEN k = nb - 1 THEN n - {_B} ELSE k * {_S} END AS INT) AS b_start,
+           CAST(CASE WHEN n <= {_B} THEN n WHEN k = nb - 1 THEN n ELSE k * {_S} + {_B} END AS INT) AS b_end
+    FROM (
+        SELECT *, unnest(generate_series(0, nb - 1)) AS k
+        FROM (SELECT *, CASE WHEN n <= {_B} THEN 1
+                             ELSE CAST(floor((n - {_B} - 1) / {_S}) AS INT) + 2 END AS nb
+              FROM turns)
+    )
+),
+lines1 AS (
+    SELECT conv_id, turn_idx, norm_text, n, block_idx, b_start,
+           unnest(string_split(block_text, chr(10))) AS line,
+           unnest(generate_series(1, len(string_split(block_text, chr(10))))) AS li,
+           len(string_split(block_text, chr(10))) AS n_lines
+    FROM (SELECT *, substring(norm_text, b_start + 1, b_end - b_start) AS block_text
+          FROM blocks)
+),
+lines2 AS (
+    SELECT *,
+           coalesce(sum(length(line) + 1) OVER (
+               PARTITION BY conv_id, turn_idx, block_idx ORDER BY li
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos,
+           trim(line, {_WS_SET}) AS stripped
+    FROM lines1
+),
+feat AS (
+    SELECT *, length(stripped) AS ln,
+           length(regexp_replace(stripped, '[^0-9A-Za-z_ ]', '', 'g')) AS alnum,
+           (starts_with(line, '    ') OR starts_with(line, chr(9)) OR starts_with(line, '```')) AS is_code
+    FROM lines2
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN ln = 0 THEN TRUE
+                WHEN is_code THEN FALSE
+                ELSE (1000 * alnum) // ln < {_MINAL}
+                     OR contains(stripped, 'http://') OR contains(stripped, 'https://')
+                     OR length(stripped) - length(replace(stripped, '|', '')) >= 2
+                     OR length(stripped) - length(replace(stripped, '·', '')) >= 2
+                     OR contains(stripped, '©')
+                     OR (1000 * (length(stripped) - length(regexp_replace(stripped, '[|·•,;/>\\[\\](){{}}=<]', '', 'g')))) // ln > {_MAXSEP}
+           END AS is_boiler
+    FROM feat
+),
+runs0 AS (
+    SELECT *, CASE WHEN NOT is_boiler AND coalesce(lag(is_boiler) OVER (
+                  PARTITION BY conv_id, turn_idx, block_idx ORDER BY li), TRUE)
+              THEN 1 ELSE 0 END AS is_run_start
+    FROM flagged
+),
+runs1 AS (
+    SELECT *, sum(is_run_start) OVER (PARTITION BY conv_id, turn_idx, block_idx ORDER BY li
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+    FROM runs0
+),
+spans0 AS (
+    SELECT conv_id, turn_idx, block_idx, b_start, run_id,
+           any_value(norm_text) AS norm_text, any_value(n) AS n, any_value(n_lines) AS n_lines,
+           arg_min(pos + length(line) - length(ltrim(line, {_WS_SET})), li) AS s_local,
+           max(li) AS last_li,
+           arg_max(pos, li) AS last_pos,
+           arg_max(line, li) AS last_line,
+           sum(ln) AS run_len,
+           sum(alnum) AS run_alnum,
+           sum(CASE WHEN is_code THEN ln ELSE 0 END) AS code_len
+    FROM runs1
+    WHERE NOT is_boiler
+    GROUP BY conv_id, turn_idx, block_idx, b_start, run_id
+),
+spans1 AS (
+    SELECT *, CASE WHEN last_li < n_lines
+                   THEN last_pos + length(rtrim(last_line, {_ST_SET}))
+                   ELSE last_pos + length(rtrim(last_line, {_WS_SET})) END AS e_local
+    FROM spans0
+),
+cand0 AS (
+    SELECT conv_id, turn_idx, block_idx, norm_text, n,
+           CAST(b_start + s_local AS INT) AS start,
+           CAST(b_start + e_local AS INT) AS "end",
+           CASE WHEN 2 * code_len > run_len THEN 'code' ELSE 'content' END AS kind,
+           CAST((1000 * run_alnum) // run_len AS INT) AS conf_milli
+    FROM spans1
+    WHERE e_local > s_local
+),
+cand AS (
+    SELECT *,
+           CAST(CASE WHEN strpos(reverse(substring(norm_text, 1, start)), chr(10)) = 0 THEN 0
+                ELSE start - strpos(reverse(substring(norm_text, 1, start)), chr(10)) + 1 END AS INT) AS line_start,
+           CAST(CASE WHEN strpos(substring(norm_text, "end" + 1), chr(10)) = 0 THEN n
+                ELSE "end" + strpos(substring(norm_text, "end" + 1), chr(10)) - 1 END AS INT) AS line_end
+    FROM cand0
+),
+kept AS (
+    SELECT * FROM (
+        SELECT *, max("end") OVER (PARTITION BY conv_id, turn_idx
+                  ORDER BY start ASC, "end" DESC, kind ASC, block_idx ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        FROM cand)
+    WHERE NOT (runmax IS NOT NULL AND runmax > start
+               AND (least("end", runmax) - start) * 1000 >= {_TH} * ("end" - start))
+),
+cl AS (
+    SELECT *, sum(CASE WHEN prevmax IS NULL OR start > prevmax + {_GAP} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY conv_id, turn_idx
+                    ORDER BY start ASC, "end" DESC, kind ASC, block_idx ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cid
+    FROM (SELECT *, max("end") OVER (PARTITION BY conv_id, turn_idx
+               ORDER BY start ASC, "end" DESC, kind ASC, block_idx ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+          FROM kept)
+),
+merged AS (
+    SELECT conv_id, turn_idx, cid,
+           any_value(norm_text) AS norm_text, any_value(n) AS n,
+           min(start) AS m_start, max("end") AS m_end,
+           min(kind) AS kind, min(conf_milli) AS conf_milli,
+           min(line_start) AS line_start, max(line_end) AS line_end,
+           list_sort(list(DISTINCT block_idx)) AS block_idxs
+    FROM cl
+    GROUP BY conv_id, turn_idx, cid
+),
+cropped AS (
+    SELECT *, substring(norm_text, start + 1, "end" - start) AS crop_text
+    FROM (SELECT *,
+              CAST(greatest(0, m_start - {_PAD}, line_start) AS INT) AS start,
+              CAST(least(n, m_end + {_PAD}, line_end) AS INT) AS "end"
+          FROM merged)
+    WHERE "end" > start
+),
+normed AS (
+    SELECT *,
+        CASE WHEN conf_milli >= {_CONF}
+             THEN regexp_replace(crop_text, '^[[:space:]]+|[[:space:]]+$', '', 'g')
+             ELSE regexp_replace(regexp_replace(crop_text, '^[[:space:]]+|[[:space:]]+$', '', 'g'),
+                                 '[[:space:]]+', ' ', 'g') END AS text,
+        CASE WHEN conf_milli >= {_CONF} THEN 'primary' ELSE 'fallback' END AS method
+    FROM cropped
+    WHERE regexp_matches(crop_text, '[^[:space:]]')
+)
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY start, "end", kind) AS INT) AS span_rank,
+       start, "end",
+       CAST(start AS DOUBLE) / n AS start_frac,
+       CAST("end" AS DOUBLE) / n AS end_frac,
+       CAST(start * 12 AS DOUBLE) / 100 AS start_norm,
+       CAST("end" * 12 AS DOUBLE) / 100 AS end_norm,
+       kind, text,
+       CAST(conf_milli AS DOUBLE) / 1000 AS confidence,
+       method,
+       array_to_string(list_transform(block_idxs,
+           bi -> conv_id || '_' || CAST(turn_idx AS VARCHAR) || '_B' || lpad(CAST(bi AS VARCHAR), 4, '0')), ',') AS provenance,
+       len(block_idxs) > 1 AS is_grouped
+FROM normed
+"""
 
 
 def _blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -358,7 +559,10 @@ def q_context_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
          .rowsBetween(-3, -1))
-    ctx = F.collect_list("event_type").over(w)
+    # collect_list silently DROPS NULL elements while DuckDB's list()
+    # keeps them -- coalesce to '' on BOTH sides so a NULL event_type
+    # cannot diverge the engines (same contract as the NULL-text ops).
+    ctx = F.collect_list(F.coalesce("event_type", F.lit(""))).over(w)
     return ev.select(
         "user_id", "event_id",
         F.array_join(ctx, ",").alias("context_csv"),
@@ -368,10 +572,10 @@ def q_context_window_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTEXT_WINDOW_SQL = """
     SELECT user_id, event_id,
-           coalesce(array_to_string(list(event_type) OVER (
+           coalesce(array_to_string(list(coalesce(event_type, '')) OVER (
                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ','), '') AS context_csv,
-           CAST(len(coalesce(list(event_type) OVER (
+           CAST(len(coalesce(list(coalesce(event_type, '')) OVER (
                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), [])) AS INT) AS n_context
     FROM events
@@ -1527,6 +1731,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "extract_full": _EXTRACT_FULL_SQL,
+    "extract_fused": _EXTRACT_FULL_SQL,
     "extract_segment_blocks": f"SELECT doc_id, block_idx, s, e FROM ({_BLOCKS_SQL})",
     "extract_pipeline_core": _PIPELINE_CORE_SQL,
     "agg_pricing_summary": _AGG_PRICING_SQL,

@@ -641,15 +641,42 @@ def _file_bounds(md, schema_fields: dict) -> tuple[list | None, list | None]:
     return (lb or None), (ub or None)
 
 
+def _parse_partition_value(v: str, iceberg_type: str):
+    """Parse a Hive directory value into the partition column's Iceberg
+    type.  Every type _partition_avro_schema accepts must round-trip --
+    a 'false' string fed to write_datum's boolean branch would encode as
+    Avro TRUE (non-empty string), and string-vs-typed comparisons in
+    partition_filter / overwrite's is_replaced would silently never
+    match."""
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if iceberg_type in ("int", "long"):
+        return int(v)
+    if iceberg_type == "double":
+        return float(v)
+    if iceberg_type == "boolean":
+        return v.lower() == "true"
+    return v
+
+
 def _stage_datafiles(df, table_path: str, partition_cols: tuple[str, ...],
                      seq_tag: str) -> list[dict]:
     """Write df via Spark's parquet writer into the table's data dir and
     return data_file dicts.  Files land under data/<k>=<v>/ (Hive layout);
-    record counts come from the parquet footers (pyarrow)."""
+    record counts come from the parquet footers (pyarrow).
+
+    Staging is PER-WRITER: the dir name and the moved data-file prefix
+    both carry a uuid, so two writers racing from the same base metadata
+    never share a staging dir (Spark's mode('overwrite') would delete the
+    other writer's staged files mid-walk) and never collide on data-file
+    names.  The metadata commit -- already protected by _write_version's
+    O_EXCL claim -- is the ONLY contention point."""
     import urllib.parse
+    import uuid
 
     import pyarrow.parquet as pq
-    staging = os.path.join(table_path, f"_staging-{seq_tag}")
+    writer_tag = f"{seq_tag}-{uuid.uuid4().hex[:12]}"
+    staging = os.path.join(table_path, f"_staging-{writer_tag}")
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -668,10 +695,10 @@ def _stage_datafiles(df, table_path: str, partition_cols: tuple[str, ...],
             for piece in ([] if rel == "." else rel.split(os.sep)):
                 k, _, v = piece.partition("=")
                 v = urllib.parse.unquote(v)
-                partition[k] = int(v) if schema_fields[k]["type"] in ("int", "long") else v
+                partition[k] = _parse_partition_value(v, schema_fields[k]["type"])
             dest_dir = os.path.join(data_dir, "" if rel == "." else rel)
             os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, f"{seq_tag}-{fname}")
+            dest = os.path.join(dest_dir, f"{writer_tag}-{fname}")
             os.replace(src, dest)
             md = pq.ParquetFile(dest).metadata
             lower, upper = _file_bounds(md, schema_fields)

@@ -38,7 +38,7 @@ import sys
 
 import duckdb
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SHARDS = 10
 
 # table -> {column: key domain}.  Offsets are computed PER DOMAIN (max
@@ -135,9 +135,17 @@ def main() -> None:
     ]
     con.execute("COPY (" + "\nUNION ALL ".join(selects) + f") TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
+    counts = {}
     for t in list(COPY) + list(KEYED) + ["documents", "embeddings"]:
         n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
+        counts[t] = n
         print(t, n)
+    # completion marker: a partially written dir (crashed/timed-out run)
+    # must never be silently benchmarked as complete -- bench.py validates
+    # this before reuse and regenerates otherwise.
+    import json
+    with open(os.path.join(out, "_COMPLETE"), "w") as fh:
+        json.dump({"source": SRC, "shards": SHARDS, "counts": counts}, fh)
 
 
 if __name__ == "__main__":
