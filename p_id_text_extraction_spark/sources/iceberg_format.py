@@ -322,13 +322,16 @@ _MANIFEST_FILE_SCHEMA = {
 
 
 def _write_manifest(meta: dict, table_path: str, entries: list[dict],
-                    snapshot_id: int, seq: int, tag: str) -> dict:
-    """Write one manifest avro; return its manifest-list entry."""
+                    snapshot_id: int, seq: int, tag: str,
+                    content: int = 0) -> dict:
+    """Write one manifest avro; return its manifest-list entry.
+    ``content``: 0 = data manifest, 1 = delete manifest (spec field 517)."""
     name = f"{meta['table-uuid'][:8]}-snap{snapshot_id}-{tag}.avro"
     path = os.path.join(_meta_dir(table_path), name)
     avro_io.write_container(
         path, _manifest_entry_schema(meta), entries,
-        metadata={"format-version": "2", "content": "data",
+        metadata={"format-version": "2",
+                  "content": "deletes" if content == 1 else "data",
                   "partition-spec-id": str(meta["default-spec-id"]),
                   "schema": json.dumps(meta["schemas"][meta["current-schema-id"]])})
     counts = {STATUS_ADDED: [0, 0], STATUS_EXISTING: [0, 0], STATUS_DELETED: [0, 0]}
@@ -340,7 +343,7 @@ def _write_manifest(meta: dict, table_path: str, entries: list[dict],
                    if e["sequence_number"] is not None), default=seq)
     return {
         "manifest_path": path, "manifest_length": os.path.getsize(path),
-        "partition_spec_id": meta["default-spec-id"], "content": 0,
+        "partition_spec_id": meta["default-spec-id"], "content": content,
         "sequence_number": seq, "min_sequence_number": min_seq,
         "added_snapshot_id": snapshot_id,
         "added_files_count": counts[STATUS_ADDED][0],
@@ -450,9 +453,58 @@ def overwrite_partitions(table_path: str, replaced: list[dict],
             for e in live if is_replaced(e["data_file"]["partition"])
         ]
         if rewritten:
+            # a rewritten DELETE manifest must stay a delete manifest:
+            # dropping a partition drops its position-delete files too,
+            # with the same carry-forward/rewrite rules as data manifests
             manifest_list.append(
-                _write_manifest(meta, table_path, rewritten, snapshot_id, seq, f"m{i + 1}"))
+                _write_manifest(meta, table_path, rewritten, snapshot_id, seq,
+                                f"m{i + 1}", content=m.get("content", 0)))
     return _commit_snapshot(table_path, meta, manifest_list, snapshot_id, seq, "overwrite")
+
+
+# field ids reserved by the spec for position-delete file columns
+POS_DELETE_PATH_FIELD_ID = 2147483546
+POS_DELETE_POS_FIELD_ID = 2147483545
+
+
+def add_position_deletes(table_path: str, deletes: list[tuple[str, int]]) -> dict:
+    """Commit a POSITION-DELETE snapshot: rows identified by
+    ``(data_file_path, row_position)`` stop appearing in reads.
+
+    This is the row-level granularity a MERGE-maintained table uses (the
+    resume protocol itself only needs whole-partition overwrites).  The
+    delete file is parquet with the spec's reserved schema: ``file_path``
+    (string, field id 2147483546) and ``pos`` (long, field id 2147483545),
+    rows sorted by (file_path, pos); it is committed under a DELETE
+    manifest (manifest-list content=1) at the next sequence number, so it
+    applies to every data file with data sequence number <= its own."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    meta = load_metadata(table_path)
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    rows = sorted(deletes)
+    schema = pa.schema([
+        pa.field("file_path", pa.string(), nullable=False,
+                 metadata={b"PARQUET:field_id": str(POS_DELETE_PATH_FIELD_ID).encode()}),
+        pa.field("pos", pa.int64(), nullable=False,
+                 metadata={b"PARQUET:field_id": str(POS_DELETE_POS_FIELD_ID).encode()}),
+    ])
+    tbl = pa.Table.from_pydict(
+        {"file_path": [r[0] for r in rows], "pos": [r[1] for r in rows]}, schema=schema)
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    path = os.path.join(data_dir, f"{seq:05d}-{_uuid.uuid4().hex[:12]}-deletes.parquet")
+    pq.write_table(tbl, path)
+    df = {"content": 1, "file_path": path, "partition": {},
+          "record_count": len(rows), "file_size_in_bytes": os.path.getsize(path),
+          "lower_bounds": None, "upper_bounds": None}
+    entries = [_entry(df, STATUS_ADDED, snapshot_id, seq)]
+    new_manifest = _write_manifest(meta, table_path, entries, snapshot_id, seq,
+                                   "d0", content=1)
+    manifest_list = [new_manifest] + _current_manifest_list(meta)
+    return _commit_snapshot(table_path, meta, manifest_list, snapshot_id, seq,
+                            "delete")
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +549,8 @@ def plan_files(table_path: str, snapshot_id: int | None = None,
     _schema, manifests, _m = avro_io.read_container(snap["manifest-list"])
     out: list[dict] = []
     for m in manifests:
+        if m.get("content", 0) != 0:
+            continue    # delete manifests are planned by plan_delete_files
         _s2, entries, _m2 = avro_io.read_container(m["manifest_path"])
         for e in entries:
             if e["status"] == STATUS_DELETED:
@@ -506,7 +560,39 @@ def plan_files(table_path: str, snapshot_id: int | None = None,
                 continue
             if ranges and pruned_by_bounds(e["data_file"]):
                 continue
-            out.append(e["data_file"])
+            # data sequence number rides along (internal key) so the read
+            # path can scope position deletes: a delete applies only to
+            # files whose data sequence number is <= the delete's
+            out.append({**e["data_file"], "_seq": e["sequence_number"] or 0})
+    return sorted(out, key=lambda d: d["file_path"])
+
+
+def plan_delete_files(table_path: str, snapshot_id: int | None = None) -> list[dict]:
+    """Live POSITION-DELETE files for a snapshot (manifest-list content=1).
+    Returns data_file dicts with ``_seq`` = the delete's data sequence
+    number; equality deletes (content=2) are out of scope and raise."""
+    meta = load_metadata(table_path)
+    sid = meta.get("current-snapshot-id", -1) if snapshot_id is None else snapshot_id
+    if sid in (-1, None):
+        return []
+    snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == sid), None)
+    if snap is None:
+        raise ValueError(f"unknown snapshot id {sid} for {table_path}")
+    _schema, manifests, _m = avro_io.read_container(snap["manifest-list"])
+    out: list[dict] = []
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
+        _s2, entries, _m2 = avro_io.read_container(m["manifest_path"])
+        for e in entries:
+            if e["status"] == STATUS_DELETED:
+                continue
+            if e["data_file"].get("content", 1) == 2:
+                raise NotImplementedError(
+                    "equality delete files are not supported (documented "
+                    "boundary; position deletes and whole-partition "
+                    "overwrites cover the resume/MERGE read paths here)")
+            out.append({**e["data_file"], "_seq": e["sequence_number"] or 0})
     return sorted(out, key=lambda d: d["file_path"])
 
 
@@ -677,12 +763,23 @@ def _stage_datafiles(df, table_path: str, partition_cols: tuple[str, ...],
     import pyarrow.parquet as pq
     writer_tag = f"{seq_tag}-{uuid.uuid4().hex[:12]}"
     staging = os.path.join(table_path, f"_staging-{writer_tag}")
+    meta = load_metadata(table_path)
+    schema_fields = {f["name"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    # stamp Iceberg field ids into the parquet files: Spark's writer emits
+    # PARQUET:field_id for any column whose schema metadata carries
+    # 'parquet.field.id' (spark.sql.parquet.fieldId.write.enabled, default
+    # true) -- no extra I/O, fully distributed.  List ELEMENT ids are not
+    # expressible through column metadata, so the table keeps
+    # schema.name-mapping.default as the spec-sanctioned fallback for
+    # nested levels and for files written before the stamping existed.
+    for c in df.columns:
+        f = schema_fields.get(c)
+        if f is not None:
+            df = df.withMetadata(c, {"parquet.field.id": f["id"]})
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
-    meta = load_metadata(table_path)
-    schema_fields = {f["name"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
     datafiles: list[dict] = []
     data_dir = os.path.join(table_path, "data")
     for root, _dirs, files in os.walk(staging):
@@ -769,7 +866,15 @@ def read_table(spark, table_path: str, snapshot_id: int | None = None,
     passed explicitly, so files predating an add-column evolution project
     the new column as null instead of being dropped by parquet schema
     inference.  An empty table yields an empty DataFrame with the table
-    schema."""
+    schema.
+
+    POSITION DELETES are anti-applied: live delete files (content=1) are
+    read as (file_path, pos) pairs and subtracted via a broadcast
+    left-anti join on Spark's ``_metadata.file_path`` / ``row_index``
+    columns -- distributed, no driver materialization of data rows, and a
+    delete scopes only to data files whose data sequence number is <= the
+    delete's (the spec's applicability rule)."""
+    from pyspark.sql import functions as F
     files = plan_files(table_path, snapshot_id, partition_filter,
                        column_range_filter=column_range_filter)
     meta = load_metadata(table_path)
@@ -777,6 +882,54 @@ def read_table(spark, table_path: str, snapshot_id: int | None = None,
     ddl = iceberg_schema_to_spark_ddl(fields)
     if not files:
         return spark.createDataFrame([], ddl)
-    return (spark.read.schema(ddl)
-            .option("basePath", os.path.join(table_path, "data"))
-            .parquet(*[f["file_path"] for f in files]))
+    deletes = plan_delete_files(table_path, snapshot_id)
+    reader = (spark.read.schema(ddl)
+              .option("basePath", os.path.join(table_path, "data")))
+    if not deletes:
+        return reader.parquet(*[f["file_path"] for f in files])
+    # split the scan: files no delete can touch (data seq > every delete
+    # seq) read clean; the rest carry (path, row_index) through an
+    # anti-join.  _metadata.file_path is a file: URI -- normalize to the
+    # plain absolute paths the delete files reference.
+    max_del_seq = max(d["_seq"] for d in deletes)
+    clean = [f["file_path"] for f in files if f["_seq"] > max_del_seq]
+    dirty = {f["file_path"]: f["_seq"] for f in files if f["_seq"] <= max_del_seq}
+    del_dfs = []
+    for d in deletes:
+        # per-delete-file applicability: only rows targeting data files
+        # with seq <= this delete's seq may match (enforced by keeping the
+        # target list per delete); extra columns in foreign delete files
+        # are ignored by the explicit schema
+        targets = [p for p, s in dirty.items() if s <= d["_seq"]]
+        if not targets:
+            continue
+        del_dfs.append(
+            spark.read.schema("file_path string, pos bigint")
+            .parquet(d["file_path"])
+            .where(F.col("file_path").isin(targets)))
+    parts = []
+    if clean:
+        parts.append(reader.parquet(*clean))
+    if dirty:
+        dirty_df = (reader.parquet(*dirty)
+                    .withColumn("_path", F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""))
+                    .withColumn("_pos", F.col("_metadata.row_index")))
+        if del_dfs:
+            dd = del_dfs[0]
+            for extra in del_dfs[1:]:
+                dd = dd.unionByName(extra)
+            dd = dd.select(F.col("file_path").alias("_path"),
+                           F.col("pos").alias("_pos")).distinct()
+            # broadcast the delete set only while it is provably small
+            # (record counts come from the manifests); a huge un-compacted
+            # delete set falls back to a shuffled anti-join rather than
+            # OOMing every executor
+            if sum(d["record_count"] for d in deletes) <= 5_000_000:
+                dd = F.broadcast(dd)
+            dirty_df = dirty_df.join(dd, ["_path", "_pos"], "left_anti")
+        parts.append(dirty_df.drop("_path", "_pos"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -384,3 +384,98 @@ def test_avro_io_fuzz_roundtrip_vs_jvm(spark, tmp_path):
         n += 1
     reader.close()
     assert n == len(records)
+
+
+# ---------------------------------------------------------------------------
+# position deletes + field-id stamping (round 4)
+# ---------------------------------------------------------------------------
+
+def test_position_deletes_anti_apply(spark, table):
+    """A synthetic position-delete file against a data file removes exactly
+    the targeted rows; later appends (data seq > delete seq) are immune;
+    time travel to the pre-delete snapshot still sees every row."""
+    pre = ice.load_metadata(table)["current-snapshot-id"]
+    files = ice.plan_files(table)
+    target = files[0]["file_path"]
+    n_target = files[0]["record_count"]
+    assert n_target >= 2
+    # delete rows 0 and n-1 of the target file, plus a bogus pos (ignored)
+    ice.add_position_deletes(table, [(target, 0), (target, n_target - 1),
+                                     (target, 10_000)])
+    got = ice.read_table(spark, table)
+    assert got.count() == 20 - 2
+    # the surviving rows of the target file are its middle rows
+    import pyarrow.parquet as pq
+    raw = pq.read_table(target).to_pylist()
+    survivors = {r["conv_id"] for r in raw[1:n_target - 1]}
+    part_val = files[0]["partition"]["bucket_id"]
+    read_back = {r.conv_id for r in got.where(f"bucket_id = {part_val}").collect()
+                 if r.conv_id in {x["conv_id"] for x in raw}}
+    assert read_back == survivors
+    # time travel: the pre-delete snapshot is untouched
+    assert ice.read_table(spark, table, snapshot_id=pre).count() == 20
+    # a file appended AFTER the delete has data seq > delete seq: even a
+    # delete row textually matching its path/pos must not apply
+    ice.write_dataframe(_df(spark, [("zz0", 9, "late"), ("zz1", 9, "late")]),
+                        table, mode="append")
+    late = [f for f in ice.plan_files(table) if "bucket_id=9" in f["file_path"]]
+    assert late and late[0]["_seq"] > max(
+        d["_seq"] for d in ice.plan_delete_files(table))
+    assert ice.read_table(spark, table).count() == 20 - 2 + 2
+
+
+def test_position_deletes_dropped_with_partition_overwrite(spark, table):
+    """Overwriting a partition drops its position-delete manifest entries
+    along with the data files (a stale delete must never survive to stab
+    the partition's replacement rows)."""
+    files = ice.plan_files(table, partition_filter={"bucket_id": 2})
+    ice.add_position_deletes(table, [(files[0]["file_path"], 0)])
+    n_after_del = ice.read_table(spark, table).count()
+    assert n_after_del == 19
+    ice.write_dataframe(_df(spark, [("r0", 2, "new"), ("r1", 2, "new")]),
+                        table, mode="overwrite_partitions",
+                        replaced=[{"bucket_id": 2}])
+    # partition 2 had 5 rows (i=2,6,10,14,18): 20-5+2 = 17, and the delete
+    # targeting the dropped file must not subtract anything
+    assert ice.read_table(spark, table).count() == 17
+    assert ice.read_table(spark, table, partition_filter={"bucket_id": 2}).count() == 2
+
+
+def test_equality_deletes_raise(spark, table, tmp_path):
+    """Equality delete files (content=2) are a documented boundary: the
+    planner refuses loudly instead of returning wrong rows."""
+    files = ice.plan_files(table)
+    ice.add_position_deletes(table, [(files[0]["file_path"], 0)])
+    # forge the delete entry's content to 2 by rewriting the manifest
+    meta = ice.load_metadata(table)
+    snap = next(s for s in meta["snapshots"]
+                if s["snapshot-id"] == meta["current-snapshot-id"])
+    _sch, manifests, _m = avro_io.read_container(snap["manifest-list"])
+    dm = next(m for m in manifests if m.get("content") == 1)
+    sch, entries, md = avro_io.read_container(dm["manifest_path"])
+    for e in entries:
+        e["data_file"]["content"] = 2
+    avro_io.write_container(dm["manifest_path"], sch, entries, metadata={
+        k: v for k, v in md.items() if not k.startswith("avro.")})
+    with pytest.raises(NotImplementedError, match="equality delete"):
+        ice.plan_delete_files(table)
+
+
+def test_parquet_field_ids_stamped(spark, table):
+    """Data files written through write_dataframe carry PARQUET:field_id
+    matching spark_schema_to_iceberg's assignment -- a real Iceberg
+    runtime reads them without the name-mapping fallback."""
+    import pyarrow.parquet as pq
+    meta = ice.load_metadata(table)
+    want = {f["name"]: f["id"]
+            for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    files = ice.plan_files(table)
+    assert files
+    for f in files:
+        asch = pq.read_schema(f["file_path"])
+        got = {fld.name: int(fld.metadata[b"PARQUET:field_id"])
+               for fld in asch if fld.metadata and b"PARQUET:field_id" in fld.metadata}
+        # partition column lives in the directory, not the file
+        for name, fid in got.items():
+            assert want[name] == fid, (f["file_path"], name, fid, want)
+        assert set(got) == set(want) - {"bucket_id"}
