@@ -140,6 +140,78 @@ def extract_run(cores: int, path: str) -> None:
     spark.stop()
 
 
+LC_EXEC_CORES = int(os.environ.get("BENCH_LC_EXEC_CORES", "4"))
+LC_EXEC_MEM_MB = int(os.environ.get("BENCH_LC_EXEC_MEM_MB", "4096"))
+BENCH_LC = os.environ.get("BENCH_LC", "1") == "1"
+
+
+def extract_lc_run(n_executors: int, path: str) -> None:
+    """Subprocess body: fused pipeline on a REAL multi-executor cluster --
+    Spark's local-cluster master runs ``n_executors`` separate executor
+    JVMs (own heaps, own Python worker pools, RPC to the driver), so the
+    north_rule's two-cluster-size criterion is evidenced on actual
+    executor boundaries instead of argued through the saturated-box
+    ceiling.  Work distribution, task serialization, result collection
+    and shuffle-less exchange semantics all cross real process borders."""
+    from pyspark.sql import SparkSession
+
+    from p_id_text_extraction_spark.plans.pipeline import extract_pipeline_fused
+    from p_id_text_extraction_spark.sources.transcripts import read_transcripts
+    spark = (
+        SparkSession.builder
+        .master(f"local-cluster[{n_executors},{LC_EXEC_CORES},{LC_EXEC_MEM_MB}]")
+        .appName(f"bench_lc_{n_executors}")
+        .config("spark.ui.enabled", "false")
+        # executor JVMs spawn their OWN python workers: the driver's
+        # sys.path does not propagate across process borders (it silently
+        # does in local[N] mode) -- ship the package location explicitly,
+        # the local-cluster stand-in for --py-files/cluster images
+        .config("spark.executorEnv.PYTHONPATH", REPO)
+        .config("spark.executor.memory", f"{LC_EXEC_MEM_MB}m")
+        .config("spark.sql.shuffle.partitions", str(n_executors * LC_EXEC_CORES))
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    turns = read_transcripts(spark, path)
+    n_turns = turns.count()
+    extract_pipeline_fused(turns).write.format("noop").mode("overwrite").save()  # warm
+    walls = []
+    for _ in range(RUNS):
+        t0 = time.monotonic()
+        extract_pipeline_fused(turns).write.format("noop").mode("overwrite").save()
+        walls.append(time.monotonic() - t0)
+    print(json.dumps({"turns": n_turns, "wall_s": min(walls),
+                      "walls": [round(w, 2) for w in walls]}))
+    spark.stop()
+
+
+def run_local_cluster(path: str) -> dict:
+    """Two REAL cluster sizes, same input: 2 executors vs 8 executors of
+    LC_EXEC_CORES cores each (pinned to exactly their total core budget).
+    Per-executor resources are IDENTICAL at both sizes -- this is the
+    cluster-shaped scaling measurement, free of the more-threads-per-box
+    saturation the local[N] pair conflates."""
+    lo, hi = 2, max(4, min(8, CPUS // LC_EXEC_CORES))
+    jobs = [("--extract-lc-run", lo), ("--extract-lc-run", hi)]
+    res = _sweep(jobs, path)
+    out = {c: res[("--extract-lc-run", c)] for c in (lo, hi)}
+    eff = round((out[hi]["turns_per_sec"] / out[lo]["turns_per_sec"]) / (hi / lo), 3)
+    return {
+        "what": f"real separate executor JVMs (local-cluster[N,{LC_EXEC_CORES},"
+                f"{LC_EXEC_MEM_MB}]), identical per-executor resources",
+        "executors": [lo, hi],
+        "exec_cores": LC_EXEC_CORES,
+        "throughput": [out[lo]["turns_per_sec"], out[hi]["turns_per_sec"]],
+        "walls": {lo: out[lo]["walls"], hi: out[hi]["walls"]},
+        "efficiency": eff,
+        "efficiency_median": round(
+            (out[hi]["turns_per_sec_median"] / out[lo]["turns_per_sec_median"]) / (hi / lo), 3),
+    }
+
+
 def _control_worker(file_path: str) -> int:
     """One control task: read a parquet part with pyarrow, run the SAME
     per-turn kernel the fused pipeline runs.  No JVM, no Arrow IPC, no
@@ -176,9 +248,11 @@ def control_run(cores: int, path: str) -> None:
 def _run_pinned(mode: str, cores: int, path: str) -> dict:
     import shutil
     cmd = [sys.executable, os.path.abspath(__file__), mode, str(cores), path]
+    # lc mode's arg counts EXECUTORS; pin to the executors' total cores
+    pin = cores * LC_EXEC_CORES if mode == "--extract-lc-run" else cores
     taskset = shutil.which("taskset")
     if taskset:
-        cmd = [taskset, "-c", f"0-{cores - 1}"] + cmd
+        cmd = [taskset, "-c", f"0-{pin - 1}"] + cmd
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
     lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
     if proc.returncode != 0 or not lines:
@@ -308,6 +382,18 @@ def write_baseline_md(scaling: dict, queries: dict, sf: str,
         "",
         f"**unsaturated pinned pair {un.get('cores')}: {un.get('efficiency')}**",
         "",
+    ] + ([
+        f"**local-cluster (REAL separate executor JVMs, "
+        f"{scaling['local_cluster']['exec_cores']} cores each): "
+        f"{scaling['local_cluster']['executors']} executors -> "
+        f"throughput {scaling['local_cluster']['throughput']}, "
+        f"efficiency {scaling['local_cluster']['efficiency']} "
+        f"(median-based {scaling['local_cluster']['efficiency_median']})** -- "
+        "identical per-executor resources at both cluster sizes; this is the",
+        "two-cluster-size criterion measured on actual executor process",
+        "boundaries (task serialization, RPC, per-executor Python pools).",
+        "",
+    ] if scaling.get("local_cluster") else []) + [
         "Reading: the 4N level saturates every hardware thread of this"
         f" {scaling['cores_4n']}-core VM with {scaling['cores_4n']} JVM task"
         f" threads PLUS {scaling['cores_4n']} Python workers.  The control shows",
@@ -353,6 +439,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--control-run":
         control_run(int(sys.argv[2]), sys.argv[3])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--extract-lc-run":
+        extract_lc_run(int(sys.argv[2]), sys.argv[3])
+        return
 
     from p_id_text_extraction_spark.plans.queries import QUERIES
     from p_id_text_extraction_spark.session import get_spark
@@ -390,6 +479,8 @@ def main() -> None:
     spark.stop()
 
     scaling = run_scaling(path)
+    if BENCH_LC:
+        scaling["local_cluster"] = run_local_cluster(path)
     write_baseline_md(scaling, queries, SF_DIR, queries_sf1, scale_step)
 
     print(json.dumps({
