@@ -490,3 +490,45 @@ def test_asof_join_matches_bruteforce_on_random_inputs(spark):
 
     want = {qid * 10 + k: (brute(k, t),) for k, qid, t in lefts}
     assert got == want
+
+
+def test_asof_join_hot_keys_equals_default(spark):
+    """The time-bucketed hot-key plan must be byte-identical to the single
+    key-window plan: same random data (duplicate timestamps both sides, a
+    key with no rights, null left timestamps), small bucket so matches
+    cross bucket borders and exercise the carry; tolerance interplay too."""
+    import datetime
+    import random
+
+    from p_id_text_extraction_spark.operators.asof_join import asof_join
+    rng = random.Random(11)
+    rights = [(k, rng.randint(0, 50), rng.randint(0, 999))
+              for k in range(4) for _ in range(40)]
+    lefts = [(k, i, rng.randint(0, 55)) for k in range(5) for i in range(50)]
+    rdf = spark.createDataFrame(
+        [(k, datetime.datetime(2026, 1, 1, 0, 0, t), v) for k, t, v in rights],
+        "k int, ts timestamp, v int")
+    ldf = spark.createDataFrame(
+        [(k, i, datetime.datetime(2026, 1, 1, 0, 0, t)) for k, i, t in lefts]
+        + [(0, 999, None)],
+        "k int, qid int, ts timestamp")
+    for tol in (None, 5_000):
+        base = sorted(map(tuple, asof_join(
+            ldf, rdf, keys=["k"], value_cols=["v"], tolerance_ms=tol).collect()))
+        # 7s buckets: ~8 buckets over the 55s span, many empty per key
+        hot = sorted(map(tuple, asof_join(
+            ldf, rdf, keys=["k"], value_cols=["v"], tolerance_ms=tol,
+            hot_keys=True, bucket_ms=7_000).collect()))
+        assert hot == base
+
+    # per-task bound: the heavy window partitions on (k, bucket), never on
+    # the bare key
+    plan = (asof_join(ldf, rdf, keys=["k"], value_cols=["v"],
+                      hot_keys=True, bucket_ms=7_000)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and any("_b" in s for s in specs)
+    # the only window WITHOUT the bucket column runs on the bucket-level
+    # finals frame (one row per (key, bucket)), ordered by _b
+    assert all("_b" in s for s in specs)
