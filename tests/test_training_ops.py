@@ -532,3 +532,81 @@ def test_asof_join_hot_keys_equals_default(spark):
     # the only window WITHOUT the bucket column runs on the bucket-level
     # finals frame (one row per (key, bucket)), ordered by _b
     assert all("_b" in s for s in specs)
+
+
+def test_png_roundtrip_and_all_filters():
+    """PNG codec (stdlib zlib + spec scanline filters): encoder output
+    round-trips bit-exactly, and the decoder inverts every filter type
+    (Sub/Up/Average/Paeth applied FORWARD here, independently per the
+    spec, so the test is a cross-implementation check, not a mirror)."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+    rng = np.random.RandomState(9)
+    for ch in (3, 4):
+        arr = rng.randint(0, 256, size=(5, 7, ch), dtype=np.uint8)
+        assert (multimodal.decode_png(multimodal.encode_png(arr)) == arr).all()
+
+    # hand-build an image whose five rows use filters 0..4
+    arr = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = arr.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        raw.append(f)
+        for x in range(w * ch):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - a
+            elif f == 2:
+                v = cur[x] - b
+            elif f == 3:
+                v = cur[x] - ((a + b) >> 1)
+            else:
+                v = cur[x] - multimodal._paeth(a, b, c)
+            raw.append(int(v) & 0xFF)
+        prev = cur
+
+    def chunk(tag, body):
+        return (st.pack(">I", len(body)) + tag + body
+                + st.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (multimodal._PNG_SIG
+           + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert (multimodal.decode_png(png) == arr).all()
+
+    # unsupported flavors raise loudly
+    bad = (multimodal._PNG_SIG
+           + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        multimodal.decode_png(bad)
+
+
+def test_real_feature_and_resize_on_png(spark):
+    """fake=False PNG rows flow through extract_features/resize_images:
+    features match pixel stats, resize re-encodes in the PNG container."""
+    import numpy as np
+    flat = np.full((4, 6, 3), [200, 100, 50], dtype=np.uint8)
+    png = multimodal.encode_png(flat)
+    media = spark.createDataFrame(
+        [(1, "image", 6, 4, 0, bytearray(png))], multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, fake=False).collect()[0].feature
+    assert abs(feats[0] - 200 / 255) < 1e-6
+    assert abs(feats[3]) < 1e-6
+    out = multimodal.resize_images(media, max_dim=3, fake=False).collect()[0]
+    assert (out.target_w, out.target_h) == (3, 2)
+    resized = multimodal.decode_png(bytes(out.payload))
+    assert resized.shape == (2, 3, 3)
+    assert (resized == [200, 100, 50]).all()
+    # jpeg stays honestly gated
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(b"\xff\xd8\xff\xe0jfif", "image")
