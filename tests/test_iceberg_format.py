@@ -479,3 +479,48 @@ def test_parquet_field_ids_stamped(spark, table):
         for name, fid in got.items():
             assert want[name] == fid, (f["file_path"], name, fid, want)
         assert set(got) == set(want) - {"bucket_id"}
+
+
+def test_racing_writers_stage_independently(spark, table):
+    """Two writers staging from the same base metadata must never share a
+    staging dir or collide on moved data-file names (Spark's overwrite
+    mode would delete the other's staged files mid-move): both stagings
+    complete with disjoint file sets, and only the metadata commit is the
+    contention point."""
+    meta = ice.load_metadata(table)
+    seq_tag = f"{meta['last-sequence-number'] + 1:05d}"
+    dfa = _df(spark, [("ra", 5, "writer a")])
+    dfb = _df(spark, [("rb", 5, "writer b")])
+    files_a = ice._stage_datafiles(dfa, table, ("bucket_id",), seq_tag)
+    files_b = ice._stage_datafiles(dfb, table, ("bucket_id",), seq_tag)
+    paths_a = {f["file_path"] for f in files_a}
+    paths_b = {f["file_path"] for f in files_b}
+    assert paths_a and paths_b and not (paths_a & paths_b)
+    for p in paths_a | paths_b:
+        assert os.path.isfile(p)    # neither staging clobbered the other
+    # both commit as appends: version claims serialize them, rows add up
+    ice.append_files(table, files_a)
+    ice.append_files(table, files_b)
+    got = ice.read_table(spark, table, partition_filter={"bucket_id": 5})
+    assert {r.conv_id for r in got.collect()} == {"ra", "rb"}
+
+
+def test_boolean_partition_values_roundtrip(spark, tmp_path):
+    """Boolean identity partitions: directory values parse back to typed
+    bools (a raw 'false' string would Avro-encode as TRUE and break
+    overwrite matching)."""
+    path = str(tmp_path / "btab")
+    df = spark.createDataFrame(
+        [(1, True, "t1"), (2, False, "f1"), (3, False, "f2")],
+        "id bigint, flag boolean, text string")
+    ice.create_table(path, df.schema, partition_cols=("flag",))
+    ice.write_dataframe(df, path, mode="append")
+    parts = {f["partition"]["flag"] for f in ice.plan_files(path)}
+    assert parts == {True, False}
+    assert ice.read_table(spark, path, partition_filter={"flag": False}).count() == 2
+    # overwrite the False partition -- typed comparison must match it
+    ice.write_dataframe(
+        spark.createDataFrame([(9, False, "new")], df.schema),
+        path, mode="overwrite_partitions", replaced=[{"flag": False}])
+    assert ice.read_table(spark, path, partition_filter={"flag": False}).count() == 1
+    assert ice.read_table(spark, path).count() == 2

@@ -55,11 +55,14 @@ def main() -> int:
     spark = get_spark(cores=8, shuffle_partitions=8, extra={"spark.driver.memory": "8g"})
     con = duck_con(sf_dir)
     failures = 0
+    import time
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
         try:
+            t0 = time.monotonic()
             sdf = fn(spark, sf_dir).toPandas()
+            spark_s = round(time.monotonic() - t0, 2)
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL] {name}: spark error: {exc}")
             failures += 1
@@ -70,7 +73,9 @@ def main() -> int:
         try:
             sql = (ORACLES_DYNAMIC[name](sf_dir)
                    if name in ORACLES_DYNAMIC else ORACLES[name])
+            t0 = time.monotonic()
             odf = con.execute(sql).df()
+            duck_s = round(time.monotonic() - t0, 2)
         except Exception as exc:  # noqa: BLE001
             print(f"[FAIL] {name}: duckdb error: {exc}")
             failures += 1
@@ -89,7 +94,8 @@ def main() -> int:
                 print(f"[FAIL] {name}: value mismatch, first diffs: {bad}")
                 ok = False
         if ok:
-            print(f"[ OK ] {name}: {len(sdf)} rows match")
+            print(f"[ OK ] {name}: {len(sdf)} rows match "
+                  f"(spark {spark_s}s, duckdb {duck_s}s)")
         else:
             failures += 1
         unpersist_tracked()   # release this query's operator caches

@@ -39,7 +39,12 @@ import sys
 import duckdb
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SHARDS = 10
+# GEN_SHARDS scales the keyed/relational tables; GEN_DOC_SHARDS scales
+# documents+embeddings independently (the sf10 step scales ONLY the
+# text/vector corpus 100x -- lineitem at 100x would be 60M rows of
+# relational data the dedup/ANN suite never reads)
+SHARDS = int(os.environ.get("GEN_SHARDS", "10"))
+DOC_SHARDS = int(os.environ.get("GEN_DOC_SHARDS", str(SHARDS)))
 
 # table -> {column: key domain}.  Offsets are computed PER DOMAIN (max
 # over every participating column + 1), so foreign keys stay consistent
@@ -121,17 +126,34 @@ def main() -> None:
     selects = [
         (f"SELECT doc_id + {s * ndoc} AS doc_id, shuf(text, {s}) AS text, lang, source, "
          f"length(shuf(text, {s})) AS n_chars FROM '{SRC}/documents.parquet'")
-        for s in range(SHARDS)
+        for s in range(DOC_SHARDS)
     ]
     con.execute("COPY (" + "\nUNION ALL ".join(selects) + f") TO '{out}/documents.parquet' (FORMAT PARQUET)")
 
-    # embeddings: cyclic rotation by shard (norm-preserving)
+    # embeddings: cyclic rotation + per-shard deterministic SIGN FLIPS.
+    # Rotation alone repeats at shard >= dim (shard 64 == shard 0 exactly
+    # -> exact duplicate vectors across shards -> spurious cross-shard
+    # dup pairs).  A diagonal +-1 transform preserves every within-shard
+    # dot product EXACTLY (<Dx, Dy> == <x, y>) and norms, while making
+    # every shard's vector set distinct; float*+-1 is bit-exact.
     nvec = con.execute(f"SELECT max(vec_id) + 1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+    dim = con.execute(f"SELECT len(embedding) FROM '{SRC}/embeddings.parquet' LIMIT 1").fetchone()[0]
+
+    def vec_expr(s: int) -> str:
+        rot = s % dim
+        terms = []
+        for i in range(dim):
+            j = ((i + rot) % dim) + 1           # 1-based source index
+            sign = 1 if s == 0 or int(hashlib.md5(f"{s}|{i}".encode())
+                                      .hexdigest(), 16) % 2 == 0 else -1
+            terms.append(f"embedding[{j}]" if sign == 1 else f"-embedding[{j}]")
+        return "[" + ", ".join(terms) + "]"
+
     selects = [
         (f"SELECT vec_id + {s * nvec} AS vec_id, "
-         f"list_cat(embedding[{s + 1}:], embedding[1:{s}]) AS embedding "
+         f"{vec_expr(s)} AS embedding "
          f"FROM '{SRC}/embeddings.parquet'")
-        for s in range(SHARDS)
+        for s in range(DOC_SHARDS)
     ]
     con.execute("COPY (" + "\nUNION ALL ".join(selects) + f") TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
 
@@ -145,7 +167,8 @@ def main() -> None:
     # this before reuse and regenerates otherwise.
     import json
     with open(os.path.join(out, "_COMPLETE"), "w") as fh:
-        json.dump({"source": SRC, "shards": SHARDS, "counts": counts}, fh)
+        json.dump({"source": SRC, "shards": SHARDS, "doc_shards": DOC_SHARDS,
+                   "counts": counts}, fh)
 
 
 if __name__ == "__main__":
