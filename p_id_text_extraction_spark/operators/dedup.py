@@ -462,15 +462,23 @@ def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
         "vec_id", "v",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias("nrm"),
     )
-    dot_ab = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+    # exact rerank AS the join projection: the cosine is computed while a
+    # candidate pair is still colocated in the join task and the vectors
+    # drop immediately -- only (vec_a, vec_b, cos_milli) ever shuffles.
+    # (The r4 sf10 step caught the previous shape: candidates carried two
+    # 64-double arrays through the dropDuplicates exchange -- ~1 KB/row
+    # across tens of millions of candidate rows, a self-inflicted
+    # shuffle 100x the size of the answer.)
+    dot_ab = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
                          F.lit(0.0), lambda acc, x: acc + x)
+    cos_milli = F.floor(F.lit(1000) * dot_ab / (F.col("a.nrm") * F.col("b.nrm"))).cast("int")
     if method == "brute":
         a, b = norm.alias("a"), norm.alias("b")
-        cand = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-            F.col("a.v").alias("va"), F.col("a.nrm").alias("na"),
-            F.col("b.v").alias("vb"), F.col("b.nrm").alias("nb"),
-        )
+        return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+                .select(F.col("a.vec_id").alias("vec_a"),
+                        F.col("b.vec_id").alias("vec_b"),
+                        cos_milli.alias("cos_milli"))
+                .filter(F.col("cos_milli") >= min_cos_milli))
     else:
         check_embedding_dim(embeddings, dim)
         if n_planes is None:
@@ -492,20 +500,16 @@ def embedding_cosine_dups(embeddings: DataFrame, min_cos_milli: int = 950,
         for t in tables[1:]:
             bucketed = bucketed.unionByName(t)
         a, b = bucketed.alias("a"), bucketed.alias("b")
-        cand = (
+        # threshold BEFORE the dedup shuffle: a pair's cosine is a pure
+        # function of the pair, so filtering first is equivalent and the
+        # distinct exchange moves only genuine duplicates (the answer),
+        # never the rejected candidate bulk
+        return (
             a.join(b, (F.col("a.tbl") == F.col("b.tbl")) & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(
-                F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
-                F.col("a.v").alias("va"), F.col("a.nrm").alias("na"),
-                F.col("b.v").alias("vb"), F.col("b.nrm").alias("nb"),
-            )
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    cos_milli.alias("cos_milli"))
+            .filter(F.col("cos_milli") >= min_cos_milli)
             .dropDuplicates(["vec_a", "vec_b"])
         )
-    return (
-        cand.select(
-            "vec_a", "vec_b",
-            F.floor(F.lit(1000) * dot_ab / (F.col("na") * F.col("nb"))).cast("int").alias("cos_milli"),
-        )
-        .filter(F.col("cos_milli") >= min_cos_milli)
-    )
