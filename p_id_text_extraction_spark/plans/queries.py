@@ -1092,8 +1092,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_COMPONENTS_SQL = f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_SQL}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_JACCARD_SQL}),
+    edges AS MATERIALIZED (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION
         SELECT doc_b AS src, doc_a AS dst FROM pairs
