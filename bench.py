@@ -392,6 +392,9 @@ def write_baseline_md(scaling: dict, queries: dict, sf: str,
         "identical per-executor resources at both cluster sizes; this is the",
         "two-cluster-size criterion measured on actual executor process",
         "boundaries (task serialization, RPC, per-executor Python pools).",
+        "The larger cluster still shares this one box, so its level is",
+        "host-saturated exactly like local[32] -- compare against the",
+        "in-run multiprocessing ceiling above, not against 1.0.",
         "",
     ] if scaling.get("local_cluster") else []) + [
         "Reading: the 4N level saturates every hardware thread of this"
