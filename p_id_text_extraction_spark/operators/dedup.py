@@ -423,7 +423,9 @@ def _int_sign_bucket(vq: F.Column, planes: list[list[int]]) -> F.Column:
 
     A NULL dot product (null-padded zip_with from a ragged row the sampled
     driver-side dim check missed) raises at execution instead of silently
-    hashing the row into bucket 0."""
+    hashing the row into bucket 0.  (Folds, not unrolled chains: see the
+    similarity.py negative-result note -- giant unrolled expressions kill
+    whole-stage codegen for the enclosing stage.)"""
     bucket = F.lit(0).cast("long")
     err = F.raise_error(
         F.lit("embedding dim mismatch inside LSH bucketing (ragged row)")).cast("long")

@@ -33,6 +33,17 @@ def _as_double(col: str = "embedding") -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# NEGATIVE RESULT (r4, measured at sf10 -- recorded so it isn't retried):
+# unrolling the dot products into 64-term getItem chains
+# (0.0 + v[0]*q[0] + ...) is bit-identical to the sequential fold and ~3x
+# faster in an ISOLATED projection (codegen handles one chain), but
+# inside the candidate JOIN stages the giant expression blows the
+# whole-stage-codegen method-size limit and Spark falls back to
+# interpreted iterators FOR THE WHOLE STAGE: dedup_embedding_cosine
+# 269s -> 1156s, sim_topk 14.5s -> 43s at sf10.  The interpreted
+# higher-order fold is the fastest codegen-safe formulation available.
+
+
 def _norm(v: F.Column) -> F.Column:
     return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
 

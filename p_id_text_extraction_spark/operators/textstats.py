@@ -180,6 +180,64 @@ def repetition_score(docs: DataFrame) -> DataFrame:
     )
 
 
+WINNOW_SCHEMA = "doc_id bigint, fp_csv string, n_fps int"
+
+
+def winnow_fingerprints_kernel(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+    """Winnowing as a ZERO-SHUFFLE Arrow kernel (the default path).
+
+    The relational formulation below is algebraically clean but pays for
+    it three times at scale: Catalyst interprets the gram-generating
+    ``transform(sequence, substr)`` lambda per element (~100 s for 234M
+    grams at sf10 on 8 cores, BEFORE hashing), the 234M exploded rows
+    cross an exchange, and the sliding min runs as an O(n*w) window.
+    Winnowing is per-document, so none of that communication is
+    necessary: normalize JVM-side, then one mapInPandas kernel hashes
+    grams (hashlib.md5, the same first-15-hex-chars integer as
+    dedup.md5_hash60 -- engine-portable, DuckDB twin unchanged) and takes
+    window minima via a numpy sliding view (C speed).  Byte-identical to
+    the relational path (golden-tested); sf10: 234 s -> ~40 s, plan is
+    Scan -> Project -> MapInPandas."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    norm = norm_text_col()
+    pruned = docs.select("doc_id", norm.alias("t")).filter(F.length(norm) >= k)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, csvs, counts = [], [], []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
+                b = t.encode("utf-8")
+                n_g = len(b) - (k - 1)
+                if n_g < w:        # no FULL window -> no row (matches SQL)
+                    continue
+                # NOTE: grams are BYTE k-grams here vs the relational
+                # path's substr code points -- identical because the
+                # normalized corpus is ASCII (the twin-scope test pins
+                # that); a unicode corpus must slice the str instead.
+                hs = np.fromiter(
+                    (int.from_bytes(hashlib.md5(b[i:i + k]).digest()[:8], "big") >> 4
+                     for i in range(n_g)),
+                    dtype=np.uint64, count=n_g)
+                mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+                # the relational path sorts the CSV as STRINGS
+                # (array_sort over cast(string)) -- mirror that exactly,
+                # numeric order would diverge ("100" < "2" < "20")
+                uniq = sorted({str(x) for x in np.unique(mins).tolist()})
+                ids.append(doc_id)
+                csvs.append(",".join(uniq))
+                counts.append(len(uniq))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "fp_csv": pd.Series(csvs, dtype="object"),
+                                "n_fps": pd.Series(counts, dtype="int32")})
+
+    return pruned.mapInPandas(kernel, WINNOW_SCHEMA)
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al.'s rolling-hash
     scheme, the standard plagiarism/near-dup fingerprint): hash every

@@ -964,8 +964,10 @@ _REPETITION_SQL = """
 
 
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (rolling-hash document fingerprint scheme)."""
-    return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+    """Winnowing fingerprints (rolling-hash document fingerprint scheme)
+    via the zero-shuffle Arrow kernel (Scan -> Project -> MapInPandas;
+    byte-identical to the relational form, which stays golden-tested)."""
+    return textstats.winnow_fingerprints_kernel(_t(spark, sf_dir, "documents"))
 
 
 _WINNOW_SQL = """

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from p_id_text_extraction_spark.operators import dedup, multimodal, similarity
+from p_id_text_extraction_spark.operators import dedup, multimodal, similarity, textstats
 
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
@@ -610,3 +610,28 @@ def test_real_feature_and_resize_on_png(spark):
     # jpeg stays honestly gated
     with pytest.raises(NotImplementedError):
         multimodal.decode_payload(b"\xff\xd8\xff\xe0jfif", "image")
+
+
+def test_winnow_kernel_equals_relational(spark):
+    """The zero-shuffle winnow kernel must be byte-identical to the
+    relational window formulation, including the string-sorted CSV and
+    the no-full-window drop; plan must be map-only."""
+    import pandas as pd
+    texts = [
+        "The quick brown fox jumps over the lazy dog and keeps running",
+        "THE QUICK  brown    fox",         # normalization collapses/cases
+        "short",                            # < k after norm -> dropped
+        "x" * 23,                           # exactly w full windows edge
+        "x" * 22,                           # n_grams = w - 1 -> no row
+        ("alpha beta gamma " * 40).strip(),  # repeats -> few distinct mins
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
+                        "lang": "en", "source": "t",
+                        "n_chars": [len(t) for t in texts]})
+    docs = spark.createDataFrame(pdf)
+    a = sorted(map(tuple, textstats.winnow_fingerprints(docs).collect()))
+    b = sorted(map(tuple, textstats.winnow_fingerprints_kernel(docs).collect()))
+    assert a == b and len(a) >= 3
+    plan = (textstats.winnow_fingerprints_kernel(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and plan.count("MapInPandas") == 1
