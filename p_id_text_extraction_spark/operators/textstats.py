@@ -183,7 +183,8 @@ def repetition_score(docs: DataFrame) -> DataFrame:
 WINNOW_SCHEMA = "doc_id bigint, fp_csv string, n_fps int"
 
 
-def winnow_fingerprints_kernel(docs: DataFrame, k: int = 8, w: int = 16) -> DataFrame:
+def winnow_fingerprints_kernel(docs: DataFrame, k: int = 8, w: int = 16,
+                               parallelism: int | None = None) -> DataFrame:
     """Winnowing as a ZERO-SHUFFLE Arrow kernel (the default path).
 
     The relational formulation below is algebraically clean but pays for
@@ -196,8 +197,14 @@ def winnow_fingerprints_kernel(docs: DataFrame, k: int = 8, w: int = 16) -> Data
     grams (hashlib.md5, the same first-15-hex-chars integer as
     dedup.md5_hash60 -- engine-portable, DuckDB twin unchanged) and takes
     window minima via a numpy sliding view (C speed).  Byte-identical to
-    the relational path (golden-tested); sf10: 234 s -> ~40 s, plan is
-    Scan -> Project -> MapInPandas."""
+    the relational path (golden-tested); sf10: 234 s -> 75 s, plan is
+    Scan -> Project -> MapInPandas.
+
+    Parallelism is bounded by the SCAN's split count (a map-only plan has
+    no exchange to rebalance on): at 100 TB that is thousands of files,
+    but a single-file corpus runs one Python worker -- pass
+    ``parallelism=`` to trade one tiny pre-kernel repartition of the slim
+    (doc_id, text) rows for full fan-out."""
     import hashlib
     from collections.abc import Iterator
 
@@ -206,6 +213,8 @@ def winnow_fingerprints_kernel(docs: DataFrame, k: int = 8, w: int = 16) -> Data
 
     norm = norm_text_col()
     pruned = docs.select("doc_id", norm.alias("t")).filter(F.length(norm) >= k)
+    if parallelism:
+        pruned = pruned.repartition(parallelism)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
