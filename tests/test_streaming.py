@@ -152,3 +152,43 @@ def test_stateful_conv_progress_across_batches_and_restarts(spark, tmp_path):
     q2 = conv_progress_stream(spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src), out, ckpt)
     q2.awaitTermination(120)
     assert latest() == {"a": (3, 2), "b": (1, 0), "c": (1, 0)}
+
+
+def test_streaming_dedup_first_seen_across_batches_and_restarts(spark, tmp_path):
+    """Cross-batch exact dedup: a fingerprint admitted in batch 1 must be
+    rejected in every later batch, INCLUDING after a full query restart
+    (the seen-set lives in the checkpointed state store); within-batch
+    dups collapse to the min doc_id; counts keep accruing."""
+    import pandas as pd
+
+    from p_id_text_extraction_spark.streaming.dedup_stream import dedup_stream
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": [r[0] for r in rows],
+                          "text": [r[1] for r in rows]}))
+
+    # batch 1: A twice (within-batch dup, canonical=1), B once.
+    # "a  x" normalizes to "a x" -- same fingerprint as doc 1.
+    docs([(1, "a x"), (5, "A  x"), (2, "b y")]).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    dedup_stream(stream, out, ckpt).awaitTermination()
+
+    got = spark.read.parquet(out).toPandas()
+    new = got[got.is_new].set_index("fingerprint")
+    assert sorted(new.doc_id) == [1, 2]
+    assert int(new[new.doc_id == 1].n_seen.iloc[0]) == 2   # within-batch dup counted
+
+    # restart with new data: A again (must NOT re-admit), C new
+    docs([(9, "a x"), (7, "c z")]).coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    dedup_stream(stream2, out, ckpt).awaitTermination()
+
+    got = spark.read.parquet(out).toPandas()
+    admitted = got[got.is_new]
+    assert sorted(admitted.doc_id) == [1, 2, 7]            # A never re-admitted
+    # the A-fingerprint's LATEST row carries the accrued count (2 + 1)
+    a_fp = admitted[admitted.doc_id == 1].fingerprint.iloc[0]
+    latest_a = got[got.fingerprint == a_fp].sort_values("batch_id").iloc[-1]
+    assert not bool(latest_a.is_new) and int(latest_a.n_seen) == 3
