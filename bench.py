@@ -74,6 +74,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_topk_cosine",
     "doc_quality_score",
+    "doc_winnow",            # r4: zero-shuffle Arrow kernel
+    "asof_state_lookup",     # r4: hot-key-capable as-of join
 ]
 
 
