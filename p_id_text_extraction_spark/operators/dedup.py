@@ -293,6 +293,42 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+# edges above this count stay distributed in algorithm='auto'; below it
+# the whole edge list is a few hundred MB and a driver union-find beats
+# a dozen distributed label-propagation rounds by their fixed job costs
+LOCAL_EDGE_CAP = 10_000_000
+
+
+def _dup_components_local(pairs: DataFrame) -> DataFrame:
+    """Driver-side union-find over the collected EDGE LIST (never the
+    corpus): path-halving find + union-by-min, identical output contract
+    to the distributed variants (min-doc_id component labels)."""
+    spark = pairs.sparkSession
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]     # path halving
+            x = parent[x]
+        return x
+
+    for a, b in pairs.select("doc_a", "doc_b").toLocalIterator():
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN label so the root IS the component id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in parent]
+    from collections import Counter
+    sizes = Counter(c for _x, c in rows)
+    out = [(x, c, sizes[c]) for x, c in rows]
+    return spark.createDataFrame(
+        out, "doc_id bigint, component_id bigint, component_size bigint")
+
+
 def dup_components(pairs: DataFrame, max_iter: int = 15,
                    algorithm: str = "propagate") -> DataFrame:
     """Connected components over near-duplicate pairs: canonical-document
@@ -323,11 +359,28 @@ def dup_components(pairs: DataFrame, max_iter: int = 15,
     (e.g. a 10^6-doc chain of pairwise near-dups) that 'propagate' would
     need a million rounds for.
 
+    ``algorithm='local'``: collect the EDGE LIST (not the corpus) to the
+    driver and union-find it -- the right call when the dup graph is
+    small relative to the corpus, which it almost always is (dedup found
+    48.5k edge rows in a 500k-doc corpus at sf10; a graph that small
+    costs ~10 driver-side milliseconds vs a dozen distributed rounds'
+    job overhead).  ``algorithm='auto'``: count the edges (one cheap
+    aggregate over the pair pipeline) and pick local under
+    ``local_edge_cap``, distributed propagation above -- how a production
+    pipeline should decide, since the edge count is unknowable before
+    dedup runs.
+
     Input: (doc_a, doc_b) pairs.  Output: (doc_id, component_id,
     component_size), component_id = min doc_id of the component.
     """
-    if algorithm not in ("propagate", "jump"):
-        raise ValueError(f"unknown algorithm {algorithm!r}: use 'propagate' or 'jump'")
+    if algorithm not in ("propagate", "jump", "local", "auto"):
+        raise ValueError(f"unknown algorithm {algorithm!r}: use "
+                         "'propagate', 'jump', 'local' or 'auto'")
+    if algorithm == "auto":
+        n_edges = pairs.count()
+        algorithm = "local" if n_edges <= LOCAL_EDGE_CAP else "propagate"
+    if algorithm == "local":
+        return _dup_components_local(pairs)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))

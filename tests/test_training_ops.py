@@ -635,3 +635,20 @@ def test_winnow_kernel_equals_relational(spark):
     plan = (textstats.winnow_fingerprints_kernel(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and plan.count("MapInPandas") == 1
+
+
+def test_dup_components_local_equals_distributed(spark):
+    """Driver union-find ('local'/'auto' under the cap) must produce the
+    identical component assignment as distributed propagation on random
+    graphs with chains, cliques and islands."""
+    import random
+    rng = random.Random(5)
+    edges = [(i, i + 1) for i in range(0, 30)]                   # chain
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a + 1, 6)]  # clique
+    edges += [(rng.randint(200, 260), rng.randint(200, 260)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    dist = sorted(map(tuple, dedup.dup_components(pairs, max_iter=40).collect()))
+    loc = sorted(map(tuple, dedup.dup_components(pairs, algorithm="local").collect()))
+    auto = sorted(map(tuple, dedup.dup_components(pairs, algorithm="auto").collect()))
+    assert loc == dist == auto
