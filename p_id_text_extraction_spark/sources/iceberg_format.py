@@ -831,6 +831,59 @@ def write_dataframe(df, table_path: str, mode: str = "append",
     raise ValueError(f"unknown mode {mode!r}")
 
 
+def compact_partitions(spark, table_path: str,
+                       small_file_bytes: int = 32 * 1024 * 1024,
+                       min_files: int = 2) -> dict:
+    """Small-file compaction -- the table-maintenance sibling of
+    expire_snapshots.  Streaming sinks and per-bucket retries accrete
+    many small data files per partition; scans then pay one open/footer
+    per file.  Any partition holding >= ``min_files`` files under
+    ``small_file_bytes`` is rewritten: its CURRENT rows are read through
+    the normal snapshot-planned scan (position deletes anti-applied, so
+    compaction also PHYSICALLY ERASES deleted rows), coalesced, and
+    committed as one atomic overwrite-partitions snapshot per pass.
+    Readers pinned at earlier snapshots are untouched until
+    expire_snapshots reclaims them.  Returns per-partition file counts.
+
+    Scale note: this driver loops over AFFECTED partitions to build the
+    replaced set (bounded metadata, same class as resume's bucket
+    bookkeeping); the data movement itself is one distributed
+    read->write per pass, never per file.
+    """
+    meta = load_metadata(table_path)
+    part_cols = [f["name"] for f in meta["partition-specs"][meta["default-spec-id"]]["fields"]]
+    by_part: dict[tuple, list[dict]] = {}
+    for f in plan_files(table_path):
+        key = tuple(sorted(f["partition"].items()))
+        by_part.setdefault(key, []).append(f)
+    todo = {k: fs for k, fs in by_part.items()
+            if len(fs) >= min_files
+            and all(f["file_size_in_bytes"] < small_file_bytes for f in fs)}
+    if not todo:
+        return {"partitions": 0, "files_before": 0, "files_after": 0}
+    replaced = [dict(k) for k in todo]
+    df = read_table(spark, table_path)
+    if part_cols:
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        conds = [reduce(lambda a, b: a & b,
+                        [F.col(c) == v for c, v in k]) for k in todo]
+        # repartition ON the partition columns: each partition's rows land
+        # in one task -> exactly one output file per compacted partition
+        df = (df.filter(reduce(lambda a, b: a | b, conds))
+              .repartition(len(todo), *part_cols))
+    else:
+        df = df.coalesce(1)
+    snap = write_dataframe(df, table_path,
+                           mode="overwrite_partitions", replaced=replaced)
+    after = sum(1 for f in plan_files(table_path)
+                if tuple(sorted(f["partition"].items())) in todo)
+    return {"partitions": len(todo),
+            "files_before": sum(len(fs) for fs in todo.values()),
+            "files_after": after, "snapshot_id": snap["snapshot-id"]}
+
+
 def add_column(table_path: str, name: str, spark_type: str) -> dict:
     """Schema evolution: append a nullable column as a NEW schema version
     (new field id, current-schema-id bumped, name mapping extended).

@@ -524,3 +524,35 @@ def test_boolean_partition_values_roundtrip(spark, tmp_path):
         path, mode="overwrite_partitions", replaced=[{"flag": False}])
     assert ice.read_table(spark, path, partition_filter={"flag": False}).count() == 1
     assert ice.read_table(spark, path).count() == 2
+
+
+def test_compact_partitions(spark, table):
+    """Small-file compaction: accreted per-partition files collapse to one,
+    rows are byte-identical, deleted rows are PHYSICALLY erased from the
+    rewritten files, and pinned readers still see the pre-compaction
+    snapshot."""
+    # accrete small files: three extra appends into bucket 1
+    for i in range(3):
+        ice.write_dataframe(_df(spark, [(f"x{i}", 1, f"extra {i}")]),
+                            table, mode="append")
+    # and a position delete against one bucket-1 file
+    f1 = [f for f in ice.plan_files(table) if "bucket_id=1" in f["file_path"]]
+    assert len(f1) >= 4
+    ice.add_position_deletes(table, [(f1[0]["file_path"], 0)])
+    pre_snap = ice.load_metadata(table)["current-snapshot-id"]
+    before = sorted(map(tuple, ice.read_table(spark, table).collect()))
+
+    stats = ice.compact_partitions(spark, table, min_files=2)
+    assert stats["partitions"] >= 1 and stats["files_after"] < stats["files_before"]
+    after = sorted(map(tuple, ice.read_table(spark, table).collect()))
+    assert after == before                      # logical rows unchanged
+    f1b = [f for f in ice.plan_files(table) if "bucket_id=1" in f["file_path"]]
+    assert len(f1b) == 1                        # one file per compacted partition
+    # the deleted row is gone from the PHYSICAL file now
+    import pyarrow.parquet as pq
+    raw = pq.read_table(f1b[0]["file_path"])
+    n_live = ice.read_table(spark, table, partition_filter={"bucket_id": 1}).count()
+    assert raw.num_rows == n_live
+    # time travel to the pre-compaction snapshot still works
+    assert sorted(map(tuple, ice.read_table(
+        spark, table, snapshot_id=pre_snap).collect())) == before
