@@ -33,10 +33,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twins -- one per query, INCLUDING the two
     pandas-UDF extraction strategies: _EXTRACT_FULL_SQL mirrors every
-    pipeline stage (segment -> line-feature detect -> suppress -> cluster
-    -> merge -> crop -> normalize -> coord -> rank) for the corpus's
-    payload classes (plain/markdown, where parse is the identity;
-    tests/test_documents_equality.py pins that scope and proves the twin
-    on an adversarial multi-line corpus).  The sketch queries
+    pipeline stage (parse for ALL FOUR payload classes -- plain/markdown
+    identity, tool_json unwrap, html block pipeline -- then segment ->
+    line-feature detect -> suppress -> cluster -> merge -> crop ->
+    normalize -> coord -> rank; tests/test_documents_equality.py fuzzes
+    the parse stage on 1000 generated payloads and proves the full twin
+    on an adversarial multi-line/html/json corpus).  The sketch queries
     (MinHash/SimHash/LSH) twin via engine-portable md5-derived hashing."""
     return dict(ORACLES)

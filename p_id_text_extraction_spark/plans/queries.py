@@ -12,8 +12,8 @@ for cross-engine value-hash equality:
 
 Every query has an ORACLES entry -- including the two pandas-UDF
 extraction strategies, whose _EXTRACT_FULL_SQL twin mirrors the whole
-pipeline stage-by-stage for the corpus's payload classes (plain/markdown;
-see the twin's comment block for the honest scope and the float rules).
+pipeline stage-by-stage, parse included, for all four payload classes
+(see the twin's comment block for the residual scope and float rules).
 The sketches (MinHash/SimHash/LSH) twin via engine-portable md5-derived
 hashing and integer-exact LSH sign buckets.
 
@@ -76,15 +76,21 @@ def q_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank -- so the flagship queries get the driver's full rows+schema+hash
 # check instead of rows-only.
 #
-# Payload-class coverage (honest scope): the twin mirrors parse_payload for
-# the 'plain' and 'markdown' classes, where parse is the identity
-# (oracle/spec.py:77-111 -- only 'html' and 'tool_json' payloads rewrite
-# the canvas).  The driver's documents corpus contains only plain payloads
-# (single-line ASCII [0-9A-Za-z ] text; tests/test_documents_equality.py
-# pins that profile, so corpus drift fails loudly instead of silently
-# hash-mismatching).  Line features assume ASCII text: Python's \\w on
-# ASCII == [0-9A-Za-z_], and str.strip() == the explicit 5-char
-# whitespace set below (a line never contains \\n post-split).
+# Payload-class coverage: the twin mirrors parse_payload for ALL FOUR
+# classes -- plain/markdown (identity), tool_json (envelope unwrap via
+# DuckDB json functions, guarded by json_type='VARCHAR' so a non-string
+# field falls through exactly like Python's isinstance check), and html
+# (script/style/comment removal, block-tag split, per-block tag strip +
+# entity decode + whitespace collapse -- the _parse_html_blocks reference
+# path, byte-equivalent to the joined fast path by the repo's property
+# test).  Fuzzed: 1000 generator payloads (plain/md/html/json mixes,
+# including non-ASCII) parse identically in both engines
+# (tests/test_documents_equality.py).  Residual out-of-scope, pinned by
+# the corpus-profile test: field-less JSON envelopes (Python re-serializes
+# compact+sorted; no DuckDB mirror) and payloads containing \\x00.  Line
+# FEATURES assume ASCII text: Python's \\w on ASCII == [0-9A-Za-z_], and
+# str.strip() == the explicit 5-char whitespace set below (a line never
+# contains \\n post-split).
 #
 # Cross-engine float rules: start_norm = round(start*0.12, 4) in Spark is
 # bit-equal to CAST(start*12 AS DOUBLE)/100 (verified exhaustively for
@@ -99,15 +105,65 @@ _CONF = DEFAULT_CONFIG.conf_threshold_milli       # 950
 # split), and prev_end's space-tab-only set (oracle/spec.py:356-361)
 _WS_SET = "' ' || chr(9) || chr(13) || chr(12) || chr(11)"
 _ST_SET = "' ' || chr(9)"
+_WSN_SET = _WS_SET + " || chr(10)"
+
+# html -> canvas: per-block reference path (oracle/spec._parse_html_blocks).
+# Kept as a plain string (no f-string brace escaping); 'raw_text' and
+# WSFULL are substituted below.
+_PARSE_HTML_SQL = r"""
+array_to_string(
+  list_filter(
+    list_transform(
+      string_split_regex(
+        regexp_replace(regexp_replace(regexp_replace(raw_text,
+            '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+            '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g'),
+            '(?s)<!--.*?-->', '', 'g'),
+        '(?i)</?(?:p|div|li|ul|ol|nav|footer|header|h[1-6]|br|tr|table|article|section|main|aside|body|html)\b[^>]*>'),
+      b -> array_to_string(
+             list_filter(
+               list_transform(
+                 string_split(
+                   trim(
+                     regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(b, '<[^>]+>', '', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                       '[ \t\r\x0C\x0B]+', ' ', 'g'),
+                     WSFULL),
+                   chr(10)),
+                 p -> trim(p, WSFULL)),
+               p -> p <> ''),
+             ' ')),
+    b -> b <> ''),
+  chr(10))
+""".replace("WSFULL", _WSN_SET)
 
 _EXTRACT_FULL_SQL = f"""
-WITH turns AS (
+WITH parsed AS (
+    SELECT doc_id,
+      CASE
+        WHEN starts_with(s0, '{{') AND ends_with(s0, '}}') AND json_valid(s0) AND json_type(s0) = 'OBJECT'
+        THEN CASE WHEN json_type(s0, '$.text') = 'VARCHAR' THEN s0 ->> '$.text'
+                  WHEN json_type(s0, '$.output') = 'VARCHAR' THEN s0 ->> '$.output'
+                  WHEN json_type(s0, '$.content') = 'VARCHAR' THEN s0 ->> '$.content'
+                  WHEN json_type(s0, '$.result') = 'VARCHAR' THEN s0 ->> '$.result'
+                  ELSE raw_text END
+        WHEN regexp_matches(raw_text, '(?i)<(?:p|div|a|li|ul|ol|nav|footer|header|h[1-6]|span|body|html|br|td|tr|table|article|section|main|aside)\\b')
+        THEN {_PARSE_HTML_SQL}
+        ELSE raw_text
+      END AS norm_text
+    FROM (SELECT doc_id, text AS raw_text, trim(text, {_WSN_SET}) AS s0
+          FROM documents
+          WHERE text IS NOT NULL AND length(trim(text, {_WSN_SET})) > 0)
+),
+turns AS (
     SELECT 'conv-' || lpad(CAST(doc_id % 50 AS VARCHAR), 6, '0') AS conv_id,
            CAST(floor(doc_id / 50) AS INT) AS turn_idx,
-           text AS norm_text,
-           length(text) AS n
-    FROM documents
-    WHERE text IS NOT NULL AND length(trim(text, {_WS_SET} || chr(10))) > 0
+           norm_text,
+           length(norm_text) AS n
+    FROM parsed
+    WHERE length(norm_text) > 0
 ),
 blocks AS (
     SELECT conv_id, turn_idx, norm_text, n,

@@ -76,22 +76,69 @@ def _canon(df):
 
 
 def test_corpus_payload_profile_pins_twin_scope():
-    """The extract_full SQL twin mirrors parse_payload for the plain and
-    markdown classes only (parse == identity there).  Pin that the driver
-    corpora contain no html/tool_json payloads -- if the corpus ever
-    drifts, this fails with a readable message instead of the driver's
-    oracle silently hash-mismatching."""
+    """The extract_full SQL twin now mirrors parse_payload for all four
+    payload classes; the residual out-of-scope shapes are field-less JSON
+    envelopes (Python re-serializes compact+sorted -- no DuckDB mirror),
+    payloads containing \x00 (the spec's slow path), and non-ASCII text
+    (line features define alnum via ASCII \w).  Pin that the driver
+    corpora contain none -- drift fails here with a readable message
+    instead of a silent oracle hash mismatch."""
     import duckdb
 
     from p_id_text_extraction_spark.oracle import spec
     for sf in ("sf0.001", "sf0.01"):
         rows = duckdb.sql(
             f"SELECT text FROM '/root/testdata/{sf}/documents.parquet'").fetchall()
-        kinds = {spec.parse_payload(t, None, None)[1] for (t,) in rows}
-        assert kinds <= {"plain", "markdown"}, (
-            f"{sf}: corpus now contains {kinds - {'plain', 'markdown'}} payloads; "
-            "extend _EXTRACT_FULL_SQL's parse stage before re-enabling the oracle")
-        assert all(t is None or t.isascii() for (t,) in rows), f"{sf}: non-ASCII text"
+        for (t,) in rows:
+            norm, kind = spec.parse_payload(t, None, None)
+            assert t is None or "\x00" not in t, f"{sf}: NUL payload"
+            assert t is None or t.isascii(), f"{sf}: non-ASCII text"
+            if kind == "tool_json":
+                # twin scope: envelope must carry a string field
+                assert norm != t.strip() or norm == "", (
+                    f"{sf}: field-less JSON envelope is outside the twin's scope")
+
+
+def test_parse_twin_fuzz_all_payload_classes():
+    """The twin's parse stage (json unwrap + html block pipeline) must
+    equal spec.parse_payload on the transcript generator's full payload
+    mix -- 1000 payloads across plain/markdown/html/tool_json, including
+    non-ASCII ones (parse itself is unicode-safe; only line FEATURES
+    require ASCII)."""
+    import duckdb
+
+    from p_id_text_extraction_spark.oracle import spec
+    from p_id_text_extraction_spark.plans.queries import _PARSE_HTML_SQL, _WSN_SET
+    from p_id_text_extraction_spark.sources.transcripts import gen_text
+    payloads = [gen_text(f"conv-{c:04d}", t) for c in range(200) for t in range(5)]
+    kinds = {spec.parse_payload(p, None, None)[1] for p in payloads}
+    assert kinds == {"plain", "markdown", "html", "tool_json"}
+    sql = f"""
+      SELECT doc_id,
+        CASE
+          WHEN starts_with(s0, '{{') AND ends_with(s0, '}}') AND json_valid(s0) AND json_type(s0) = 'OBJECT'
+          THEN CASE WHEN json_type(s0, '$.text') = 'VARCHAR' THEN s0 ->> '$.text'
+                    WHEN json_type(s0, '$.output') = 'VARCHAR' THEN s0 ->> '$.output'
+                    WHEN json_type(s0, '$.content') = 'VARCHAR' THEN s0 ->> '$.content'
+                    WHEN json_type(s0, '$.result') = 'VARCHAR' THEN s0 ->> '$.result'
+                    ELSE raw_text END
+          WHEN regexp_matches(raw_text, '(?i)<(?:p|div|a|li|ul|ol|nav|footer|header|h[1-6]|span|body|html|br|td|tr|table|article|section|main|aside)\\b')
+          THEN {_PARSE_HTML_SQL}
+          ELSE raw_text
+        END AS norm_text
+      FROM (SELECT doc_id, text AS raw_text, trim(text, {_WSN_SET}) AS s0 FROM docs
+            WHERE text IS NOT NULL AND length(trim(text, {_WSN_SET})) > 0)
+    """
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", list(enumerate(payloads)))
+    got = dict(con.execute(sql).fetchall())
+    for i, t in enumerate(payloads):
+        want, _kind = spec.parse_payload(t, None, None)
+        if want == "":
+            assert got.get(i) is None, i
+        else:
+            assert got.get(i) == want, (i, t[:120])
 
 
 def test_extract_full_sql_twin_on_adversarial_corpus(spark, tmp_path):
@@ -127,6 +174,19 @@ def test_extract_full_sql_twin_on_adversarial_corpus(spark, tmp_path):
         "Plain closing sentence after the list ends",
         # low-density / empty-after-strip edge
         "   \n===\n| a | b |\nReal sentence sits between boiler rows\n(c) 2024 footer-ish | row | here",
+    ]
+    # html + tool_json payloads: the parse STAGE of the twin feeds the
+    # same detect/suppress/merge chain end to end
+    texts += [
+        "<div><p>A substantial paragraph of readable prose sits here</p>"
+        "<nav>home | products | about | contact | legal</nav>"
+        "<p>Another paragraph with enough words to clear the density gate</p>"
+        "<script>var hidden = '<p>never shown</p>';</script></div>",
+        '{"text": "An unwrapped tool payload with a sentence of content\\n'
+        'and a second line of ordinary words after a newline"}',
+        '{"output": "short tool result text with several plain words", "code": 0}',
+        "<p>Entities &amp; escapes &lt;kept&gt; &quot;verbatim&quot; here"
+        " with plenty of surrounding prose to stay content</p>",
     ]
     # widen: block-cut sweep around the 256/230 boundaries
     for ln in (255, 256, 257, 485, 486, 487, 600):
