@@ -258,6 +258,12 @@ def _manifest_entry_schema(meta: dict) -> dict:
                      "default": None, "field-id": 125},
                     {"name": "upper_bounds", "type": ["null", _bounds_avro_type("k119_v120")],
                      "default": None, "field-id": 128},
+                    # spec field 135: source field ids an EQUALITY delete
+                    # file (content=2) compares on; null for data/position
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int",
+                                       "element-id": 136}],
+                     "default": None, "field-id": 135},
                 ],
             }},
         ],
@@ -403,7 +409,8 @@ def _commit_snapshot(table_path: str, meta: dict, manifest_entries: list[dict],
 def _entry(df: dict, status: int, snapshot_id: int, seq: int | None) -> dict:
     return {"status": status, "snapshot_id": snapshot_id,
             "sequence_number": seq, "file_sequence_number": seq,
-            "data_file": {"content": 0, "file_format": "PARQUET", **df}}
+            "data_file": {"content": 0, "file_format": "PARQUET",
+                          "equality_ids": None, **df}}
 
 
 def append_files(table_path: str, datafiles: list[dict]) -> dict:
@@ -507,6 +514,63 @@ def add_position_deletes(table_path: str, deletes: list[tuple[str, int]]) -> dic
                             "delete")
 
 
+_ICEBERG_TO_PA = {"string": "string", "long": "int64", "int": "int32",
+                  "double": "float64", "boolean": "bool_"}
+
+
+def add_equality_deletes(table_path: str, rows: list[dict],
+                         equality_cols: list[str]) -> dict:
+    """Commit an EQUALITY-DELETE snapshot (content=2): any live row whose
+    values on ``equality_cols`` match a delete row stops appearing in
+    reads -- the granularity a Flink-CDC-style writer maintains tables
+    with (it cannot know row positions, only key values).
+
+    The delete file is parquet carrying exactly the equality columns
+    (table types, ``PARQUET:field_id``-stamped); the manifest entry
+    records their field ids in ``equality_ids`` (spec field 135) and is
+    committed under a DELETE manifest at the next sequence number.  Per
+    the spec's applicability rule it deletes rows only from data files
+    whose data sequence number is STRICTLY LESS than its own (a position
+    delete uses <=), and a null delete value matches null data values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    meta = load_metadata(table_path)
+    schema_fields = {f["name"]: f
+                     for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    missing = [c for c in equality_cols if c not in schema_fields]
+    if missing:
+        raise ValueError(f"equality columns not in table schema: {missing}")
+    for c in equality_cols:
+        t = schema_fields[c]["type"]
+        if not isinstance(t, str) or t not in _ICEBERG_TO_PA:
+            raise NotImplementedError(f"equality delete on column type {t!r}")
+    seq = meta["last-sequence-number"] + 1
+    snapshot_id = seq
+    pa_fields = [
+        pa.field(c, getattr(pa, _ICEBERG_TO_PA[schema_fields[c]["type"]])(),
+                 metadata={b"PARQUET:field_id":
+                           str(schema_fields[c]["id"]).encode()})
+        for c in equality_cols]
+    tbl = pa.Table.from_pydict(
+        {c: [r.get(c) for r in rows] for c in equality_cols},
+        schema=pa.schema(pa_fields))
+    data_dir = os.path.join(table_path, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    path = os.path.join(
+        data_dir, f"{seq:05d}-{_uuid.uuid4().hex[:12]}-eq-deletes.parquet")
+    pq.write_table(tbl, path)
+    df = {"content": 2, "file_path": path, "partition": {},
+          "record_count": len(rows), "file_size_in_bytes": os.path.getsize(path),
+          "lower_bounds": None, "upper_bounds": None,
+          "equality_ids": [schema_fields[c]["id"] for c in equality_cols]}
+    entries = [_entry(df, STATUS_ADDED, snapshot_id, seq)]
+    new_manifest = _write_manifest(meta, table_path, entries, snapshot_id, seq,
+                                   "d0", content=1)
+    manifest_list = [new_manifest] + _current_manifest_list(meta)
+    return _commit_snapshot(table_path, meta, manifest_list, snapshot_id, seq,
+                            "delete")
+
+
 # ---------------------------------------------------------------------------
 # scan planning
 # ---------------------------------------------------------------------------
@@ -568,9 +632,11 @@ def plan_files(table_path: str, snapshot_id: int | None = None,
 
 
 def plan_delete_files(table_path: str, snapshot_id: int | None = None) -> list[dict]:
-    """Live POSITION-DELETE files for a snapshot (manifest-list content=1).
-    Returns data_file dicts with ``_seq`` = the delete's data sequence
-    number; equality deletes (content=2) are out of scope and raise."""
+    """Live DELETE files for a snapshot (manifest-list content=1): both
+    position deletes (data_file content=1) and equality deletes
+    (content=2, carrying ``equality_ids``).  Returns data_file dicts with
+    ``_seq`` = the delete's data sequence number; callers dispatch on
+    ``content``."""
     meta = load_metadata(table_path)
     sid = meta.get("current-snapshot-id", -1) if snapshot_id is None else snapshot_id
     if sid in (-1, None):
@@ -587,11 +653,6 @@ def plan_delete_files(table_path: str, snapshot_id: int | None = None) -> list[d
         for e in entries:
             if e["status"] == STATUS_DELETED:
                 continue
-            if e["data_file"].get("content", 1) == 2:
-                raise NotImplementedError(
-                    "equality delete files are not supported (documented "
-                    "boundary; position deletes and whole-partition "
-                    "overwrites cover the resume/MERGE read paths here)")
             out.append({**e["data_file"], "_seq": e["sequence_number"] or 0})
     return sorted(out, key=lambda d: d["file_path"])
 
@@ -867,8 +928,12 @@ def compact_partitions(spark, table_path: str,
         from functools import reduce
 
         from pyspark.sql import functions as F
+        # eqNullSafe: a null-valued partition (__HIVE_DEFAULT_PARTITION__
+        # parses to None) must still SELECT its rows -- `col == None` is
+        # NULL and would rewrite the partition with zero rows (data loss).
         conds = [reduce(lambda a, b: a & b,
-                        [F.col(c) == v for c, v in k]) for k in todo]
+                        [F.col(c).eqNullSafe(F.lit(v)) for c, v in k])
+                 for k in todo]
         # repartition ON the partition columns: each partition's rows land
         # in one task -> exactly one output file per compacted partition
         df = (df.filter(reduce(lambda a, b: a | b, conds))
@@ -940,19 +1005,27 @@ def read_table(spark, table_path: str, snapshot_id: int | None = None,
               .option("basePath", os.path.join(table_path, "data")))
     if not deletes:
         return reader.parquet(*[f["file_path"] for f in files])
-    # split the scan: files no delete can touch (data seq > every delete
-    # seq) read clean; the rest carry (path, row_index) through an
-    # anti-join.  _metadata.file_path is a file: URI -- normalize to the
-    # plain absolute paths the delete files reference.
-    max_del_seq = max(d["_seq"] for d in deletes)
-    clean = [f["file_path"] for f in files if f["_seq"] > max_del_seq]
-    dirty = {f["file_path"]: f["_seq"] for f in files if f["_seq"] <= max_del_seq}
+    pos_dels = [d for d in deletes if d.get("content", 1) == 1]
+    eq_dels = [d for d in deletes if d.get("content", 1) == 2]
+    # split the scan: files no delete can touch read clean; the rest carry
+    # (path, row_index) through anti-joins.  Applicability (spec): a
+    # position delete scopes to data files with seq <= its own, an
+    # EQUALITY delete to data files with seq STRICTLY LESS than its own.
+    # _metadata.file_path is a file: URI -- normalize to the plain
+    # absolute paths the delete files reference.
+    max_pos_seq = max((d["_seq"] for d in pos_dels), default=-1)
+    max_eq_seq = max((d["_seq"] for d in eq_dels), default=-1)
+
+    def touched(seq: int) -> bool:
+        return seq <= max_pos_seq or seq < max_eq_seq
+
+    clean = [f["file_path"] for f in files if not touched(f["_seq"])]
+    dirty = {f["file_path"]: f["_seq"] for f in files if touched(f["_seq"])}
     del_dfs = []
-    for d in deletes:
-        # per-delete-file applicability: only rows targeting data files
-        # with seq <= this delete's seq may match (enforced by keeping the
-        # target list per delete); extra columns in foreign delete files
-        # are ignored by the explicit schema
+    for d in pos_dels:
+        # per-delete-file applicability enforced by keeping the target
+        # list per delete; extra columns in foreign delete files are
+        # ignored by the explicit schema
         targets = [p for p, s in dirty.items() if s <= d["_seq"]]
         if not targets:
             continue
@@ -978,9 +1051,33 @@ def read_table(spark, table_path: str, snapshot_id: int | None = None,
             # (record counts come from the manifests); a huge un-compacted
             # delete set falls back to a shuffled anti-join rather than
             # OOMing every executor
-            if sum(d["record_count"] for d in deletes) <= 5_000_000:
+            if sum(d["record_count"] for d in pos_dels) <= 5_000_000:
                 dd = F.broadcast(dd)
             dirty_df = dirty_df.join(dd, ["_path", "_pos"], "left_anti")
+        # EQUALITY deletes: anti-join on the delete file's key columns,
+        # null-safe (a null delete value matches null data values, per
+        # spec), scoped to data files with seq < the delete's.  One
+        # anti-join per delete file -- equality-delete writers compact
+        # their deletes, so the file count is small; each join is
+        # broadcast under the same guard as the position set.
+        by_id = {f["id"]: f for f in fields}
+        for d in eq_dels:
+            targets = [p for p, s in dirty.items() if s < d["_seq"]]
+            if not targets:
+                continue
+            key_fields = [by_id[i] for i in d["equality_ids"]]
+            key_ddl = iceberg_schema_to_spark_ddl(key_fields)
+            dd = (spark.read.schema(key_ddl).parquet(d["file_path"])
+                  .select([F.col(f["name"]).alias(f"_eq_{f['name']}")
+                           for f in key_fields])
+                  .distinct())
+            if d["record_count"] <= 5_000_000:
+                dd = F.broadcast(dd)
+            cond = F.col("_path").isin(targets)
+            for f in key_fields:
+                cond = cond & dirty_df[f["name"]].eqNullSafe(
+                    dd[f"_eq_{f['name']}"])
+            dirty_df = dirty_df.join(dd, cond, "left_anti")
         parts.append(dirty_df.drop("_path", "_pos"))
     out = parts[0]
     for p in parts[1:]:

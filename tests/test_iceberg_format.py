@@ -424,6 +424,40 @@ def test_position_deletes_anti_apply(spark, table):
     assert ice.read_table(spark, table).count() == 20 - 2 + 2
 
 
+def test_equality_deletes_anti_apply(spark, table):
+    """A synthetic EQUALITY-delete file (content=2) removes every live row
+    matching its key values; data appended at seq >= the delete's is
+    immune (strict < applicability, unlike position deletes' <=); time
+    travel still sees the pre-delete snapshot; null key values match null
+    data values."""
+    pre = ice.load_metadata(table)["current-snapshot-id"]
+    # a row with NULL text to pin null-matches-null semantics
+    ice.write_dataframe(_df(spark, [("cn", 2, None)]), table, mode="append")
+    ice.add_equality_deletes(
+        table, [{"conv_id": "c3"}, {"conv_id": "c17"}, {"conv_id": "nope"}],
+        ["conv_id"])
+    got = ice.read_table(spark, table)
+    ids = {r.conv_id for r in got.collect()}
+    assert "c3" not in ids and "c17" not in ids and got.count() == 21 - 2
+    # multi-column key incl. a NULL value: deletes ONLY (cn, null)
+    ice.add_equality_deletes(table, [{"conv_id": "cn", "text": None}],
+                             ["conv_id", "text"])
+    ids = {r.conv_id for r in ice.read_table(spark, table).collect()}
+    assert "cn" not in ids and len(ids) == 21 - 3
+    # rows appended at seq >= the delete's are immune even if key-matching
+    ice.write_dataframe(_df(spark, [("c3", 3, "reborn")]), table, mode="append")
+    again = ice.read_table(spark, table)
+    assert {r.text for r in again.where("conv_id = 'c3'").collect()} == {"reborn"}
+    # time travel: pre-delete snapshot untouched
+    assert ice.read_table(spark, table, snapshot_id=pre).count() == 20
+    # compaction physically erases equality-deleted rows as well
+    stats = ice.compact_partitions(spark, table, min_files=1,
+                                   small_file_bytes=1 << 30)
+    assert stats["partitions"] >= 1
+    ids2 = {r.conv_id for r in ice.read_table(spark, table).collect()}
+    assert "c17" not in ids2 and "cn" not in ids2 and "c3" in ids2
+
+
 def test_position_deletes_dropped_with_partition_overwrite(spark, table):
     """Overwriting a partition drops its position-delete manifest entries
     along with the data files (a stale delete must never survive to stab
@@ -441,24 +475,23 @@ def test_position_deletes_dropped_with_partition_overwrite(spark, table):
     assert ice.read_table(spark, table, partition_filter={"bucket_id": 2}).count() == 2
 
 
-def test_equality_deletes_raise(spark, table, tmp_path):
-    """Equality delete files (content=2) are a documented boundary: the
-    planner refuses loudly instead of returning wrong rows."""
+def test_equality_delete_planning_carries_ids(spark, table):
+    """plan_delete_files surfaces both delete kinds with their content and
+    the equality_ids the read path dispatches on; unknown columns refuse
+    loudly at write time."""
     files = ice.plan_files(table)
     ice.add_position_deletes(table, [(files[0]["file_path"], 0)])
-    # forge the delete entry's content to 2 by rewriting the manifest
+    ice.add_equality_deletes(table, [{"conv_id": "c1"}], ["conv_id"])
+    dels = ice.plan_delete_files(table)
+    assert sorted(d.get("content", 1) for d in dels) == [1, 2]
+    eq = next(d for d in dels if d.get("content") == 2)
     meta = ice.load_metadata(table)
-    snap = next(s for s in meta["snapshots"]
-                if s["snapshot-id"] == meta["current-snapshot-id"])
-    _sch, manifests, _m = avro_io.read_container(snap["manifest-list"])
-    dm = next(m for m in manifests if m.get("content") == 1)
-    sch, entries, md = avro_io.read_container(dm["manifest_path"])
-    for e in entries:
-        e["data_file"]["content"] = 2
-    avro_io.write_container(dm["manifest_path"], sch, entries, metadata={
-        k: v for k, v in md.items() if not k.startswith("avro.")})
-    with pytest.raises(NotImplementedError, match="equality delete"):
-        ice.plan_delete_files(table)
+    conv_fid = next(f["id"] for f in
+                    meta["schemas"][meta["current-schema-id"]]["fields"]
+                    if f["name"] == "conv_id")
+    assert eq["equality_ids"] == [conv_fid]
+    with pytest.raises(ValueError, match="not in table schema"):
+        ice.add_equality_deletes(table, [{"ghost": 1}], ["ghost"])
 
 
 def test_parquet_field_ids_stamped(spark, table):
@@ -556,3 +589,29 @@ def test_compact_partitions(spark, table):
     # time travel to the pre-compaction snapshot still works
     assert sorted(map(tuple, ice.read_table(
         spark, table, snapshot_id=pre_snap).collect())) == before
+
+
+def test_compact_null_partition_keeps_rows(spark, tmp_path):
+    """A null-valued partition (__HIVE_DEFAULT_PARTITION__) must survive
+    compaction with its rows intact: `col == None` evaluates to NULL and
+    would rewrite the partition as EMPTY -- the filter must use null-safe
+    equality."""
+    path = str(tmp_path / "ntab")
+    df_schema = "id bigint, grp string, text string"
+    ice.create_table(path, spark.createDataFrame([], df_schema).schema,
+                     partition_cols=("grp",))
+    for i in range(3):          # accrete small files in the NULL partition
+        ice.write_dataframe(
+            spark.createDataFrame([(i, None, f"null part {i}"),
+                                   (100 + i, "a", f"a part {i}")], df_schema),
+            path, mode="append")
+    before = sorted(map(tuple, ice.read_table(spark, path).collect()))
+    assert sum(1 for r in ice.read_table(spark, path).collect()
+               if r.grp is None) == 3
+    stats = ice.compact_partitions(spark, path, min_files=2)
+    assert stats["partitions"] == 2
+    after = sorted(map(tuple, ice.read_table(spark, path).collect()))
+    assert after == before      # null-partition rows NOT lost
+    null_files = [f for f in ice.plan_files(path)
+                  if f["partition"]["grp"] is None]
+    assert len(null_files) == 1
