@@ -220,17 +220,21 @@ def winnow_fingerprints_kernel(docs: DataFrame, k: int = 8, w: int = 16,
         for pdf in batches:
             ids, csvs, counts = [], [], []
             for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
-                b = t.encode("utf-8")
-                n_g = len(b) - (k - 1)
+                n_g = len(t) - (k - 1)      # CODE-POINT grams, like substr
                 if n_g < w:        # no FULL window -> no row (matches SQL)
                     continue
-                # NOTE: grams are BYTE k-grams here vs the relational
-                # path's substr code points -- identical because the
-                # normalized corpus is ASCII (the twin-scope test pins
-                # that); a unicode corpus must slice the str instead.
+                if t.isascii():
+                    # fast path: byte slices == encoded code-point slices
+                    b = t.encode("utf-8")
+                    gram_bytes = (b[i:i + k] for i in range(n_g))
+                else:
+                    # unicode: slice the STR (code points) then encode per
+                    # gram -- byte k-grams would silently diverge from the
+                    # relational substr path on multi-byte text
+                    gram_bytes = (t[i:i + k].encode("utf-8") for i in range(n_g))
                 hs = np.fromiter(
-                    (int.from_bytes(hashlib.md5(b[i:i + k]).digest()[:8], "big") >> 4
-                     for i in range(n_g)),
+                    (int.from_bytes(hashlib.md5(g).digest()[:8], "big") >> 4
+                     for g in gram_bytes),
                     dtype=np.uint64, count=n_g)
                 mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
                 # the relational path sorts the CSV as STRINGS

@@ -624,6 +624,11 @@ def test_winnow_kernel_equals_relational(spark):
         "x" * 23,                           # exactly w full windows edge
         "x" * 22,                           # n_grams = w - 1 -> no row
         ("alpha beta gamma " * 40).strip(),  # repeats -> few distinct mins
+        # NON-ASCII: multi-byte code points force the kernel's str-slice
+        # path -- byte k-grams would diverge from substr here
+        "héllo wörld naïve café déjà vu über straße jalapeño ñandú αβγδε",
+        ("日本語のテキストで 重複検出を試験する " * 8).strip(),
+        "mixed ascii and 中文 characters interleaved 测试 throughout the line",
     ]
     pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts,
                         "lang": "en", "source": "t",
