@@ -192,3 +192,72 @@ def test_streaming_dedup_first_seen_across_batches_and_restarts(spark, tmp_path)
     a_fp = admitted[admitted.doc_id == 1].fingerprint.iloc[0]
     latest_a = got[got.fingerprint == a_fp].sort_values("batch_id").iloc[-1]
     assert not bool(latest_a.is_new) and int(latest_a.n_seen) == 3
+
+
+def test_streaming_dedup_state_ttl_evicts_and_readmits(spark, tmp_path):
+    """Bounded state: with state_ttl_ms set, a fingerprint idle past the
+    horizon is EVICTED from the state store (row count plateaus instead of
+    growing forever) and its next occurrence is RE-ADMITTED as a fresh
+    canonical row.  NULL doc_id / NULL text rows are dropped before the
+    stateful kernel instead of crashing the query."""
+    import time as _t
+
+    import pandas as pd
+
+    from p_id_text_extraction_spark.streaming.dedup_stream import dedup_stream
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    TTL = 3000
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def poll(q, cond, secs=90):
+        # a TTL query runs no-data batches to fire timeouts and never
+        # self-terminates (processAllAvailable spins with it): poll the
+        # observable effect, then stop the query explicitly
+        deadline = _t.monotonic() + secs
+        while _t.monotonic() < deadline:
+            try:
+                if cond():
+                    return
+            except Exception:
+                pass                      # sink mid-overwrite; retry
+            _t.sleep(1)
+        q.stop()
+        raise AssertionError("condition not reached before deadline")
+
+    def out_pdf():
+        return spark.read.parquet(out).toPandas()
+
+    # batch 1: A, B admitted; null doc_id and null text rows must be
+    # silently dropped (a NaN doc_id inside the kernel kills the query)
+    docs([(1, "a x"), (2, "b y"), (None, "n t"), (3, None)]
+         ).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = dedup_stream(stream, out, ckpt, trigger_available_now=False,
+                     state_ttl_ms=TTL)
+    poll(q, lambda: sorted(out_pdf()[out_pdf().is_new].doc_id) == [1, 2])
+    q.stop()
+
+    _t.sleep((TTL + 1500) / 1000)       # let both fingerprints pass the horizon
+
+    # batch 2: A replayed (id 9) + C new.  A is past the horizon -> its
+    # stale state must not suppress re-admission; B idle -> timeout eviction.
+    docs([(9, "a x"), (7, "c z")]).coalesce(1).write.mode("append").parquet(src)
+    q = dedup_stream(spark.readStream.schema("doc_id bigint, text string").parquet(src),
+                     out, ckpt, trigger_available_now=False, state_ttl_ms=TTL)
+
+    def state_plateaued():
+        rows = [p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress if p.get("stateOperators")]
+        return rows and rows[-1] == 2
+    # state PLATEAUS: B's row evicted by the timeout, old-A re-stamped ->
+    # 2 live rows (A, C), not 3 fingerprints ever seen
+    poll(q, state_plateaued)
+    q.stop()
+
+    got = spark.read.parquet(out).toPandas()
+    readmit = got[(got.doc_id == 9) & got.is_new]
+    assert len(readmit) == 1                 # A re-admitted after the horizon
+    assert int(readmit.n_seen.iloc[0]) == 1  # counts reset with the eviction
+    assert sorted(got[got.is_new].doc_id) == [1, 2, 7, 9]
