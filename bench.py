@@ -196,7 +196,14 @@ def run_local_cluster(path: str) -> dict:
     Per-executor resources are IDENTICAL at both sizes -- this is the
     cluster-shaped scaling measurement, free of the more-threads-per-box
     saturation the local[N] pair conflates."""
-    lo, hi = 2, max(4, min(8, CPUS // LC_EXEC_CORES))
+    # clamp BOTH sizes to what the box can actually pin (taskset on cores
+    # the machine doesn't have fails with EINVAL); a box that can't fit
+    # two distinct cluster sizes skips the block instead of aborting
+    fit = CPUS // LC_EXEC_CORES
+    lo, hi = min(2, fit), min(8, fit)
+    if hi <= lo:
+        return {"skipped": f"box fits only {fit} executors of "
+                           f"{LC_EXEC_CORES} cores; need two distinct sizes"}
     jobs = [("--extract-lc-run", lo), ("--extract-lc-run", hi)]
     res = _sweep(jobs, path)
     out = {c: res[("--extract-lc-run", c)] for c in (lo, hi)}
@@ -398,7 +405,7 @@ def write_baseline_md(scaling: dict, queries: dict, sf: str,
         "host-saturated exactly like local[32] -- compare against the",
         "in-run multiprocessing ceiling above, not against 1.0.",
         "",
-    ] if scaling.get("local_cluster") else []) + [
+    ] if scaling.get("local_cluster", {}).get("efficiency") is not None else []) + [
         "Reading: the 4N level saturates every hardware thread of this"
         f" {scaling['cores_4n']}-core VM with {scaling['cores_4n']} JVM task"
         f" threads PLUS {scaling['cores_4n']} Python workers.  The control shows",

@@ -377,8 +377,19 @@ def dup_components(pairs: DataFrame, max_iter: int = 15,
         raise ValueError(f"unknown algorithm {algorithm!r}: use "
                          "'propagate', 'jump', 'local' or 'auto'")
     if algorithm == "auto":
-        n_edges = pairs.count()
-        algorithm = "local" if n_edges <= LOCAL_EDGE_CAP else "propagate"
+        # The upstream pair pipeline (MinHash/LSH + exact verify) is the
+        # expensive part of the job -- persist it so the edge-count probe
+        # and the chosen algorithm's consumption share ONE evaluation
+        # instead of recomputing the sketch join from scratch.
+        pairs = pairs.persist()
+        try:
+            n_edges = pairs.count()
+            algorithm = "local" if n_edges <= LOCAL_EDGE_CAP else "propagate"
+            if algorithm == "local":
+                return _dup_components_local(pairs)
+            return dup_components(pairs, max_iter, algorithm)
+        finally:
+            pairs.unpersist()
     if algorithm == "local":
         return _dup_components_local(pairs)
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
