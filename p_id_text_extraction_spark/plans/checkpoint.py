@@ -54,18 +54,37 @@ PROBE_COUNTED = "counted"
 PROBE_HASH_EMPTY = "hash_empty_verified"
 
 
-def job_fingerprint(cfg: ExtractConfig, n_buckets: int) -> str:
+def job_fingerprint(cfg: ExtractConfig, n_buckets: int,
+                    bucket_fn: str = "xxhash") -> str:
     """Run-identity hash: a manifest row only skips work for the exact same
     parameters (config singleton analogue, config_manager.py:9-109).
     ``n_buckets`` is part of the identity -- bucket id 3 of a 16-bucketing
-    and bucket id 3 of a 256-bucketing cover different conversations."""
+    and bucket id 3 of a 256-bucketing cover different conversations.
+    ``bucket_fn`` likewise: xxhash and iceberg-murmur3 bucketings assign
+    the same id to different conversation sets (folded into the blob only
+    when non-default, so historical fingerprints stay valid)."""
     import hashlib
     import json
-    blob = json.dumps({**asdict(cfg), "n_buckets": n_buckets}, sort_keys=True)
+    d = {**asdict(cfg), "n_buckets": n_buckets}
+    if bucket_fn != "xxhash":
+        d["bucket_fn"] = bucket_fn
+    blob = json.dumps(d, sort_keys=True)
     return hashlib.md5(blob.encode()).hexdigest()[:16]
 
 
-def with_bucket(turns: DataFrame, n_buckets: int) -> DataFrame:
+def with_bucket(turns: DataFrame, n_buckets: int,
+                bucket_fn: str = "xxhash") -> DataFrame:
+    """Deterministic restart bucket.  'xxhash' (default): JVM-side
+    pmod(xxhash64(conv_id), n) -- the cheap codegen path.  'iceberg': the
+    spec's bucket[n](conv_id) murmur3 (Arrow-batched kernel), so the
+    restart unit IS the spans table's hidden bucket partition and a
+    retried bucket maps to exactly one overwritten partition."""
+    if bucket_fn == "iceberg":
+        from p_id_text_extraction_spark.sources.iceberg_format import (
+            bucket_transform_col,
+        )
+        return turns.withColumn(
+            "bucket_id", bucket_transform_col("conv_id", n_buckets, "string"))
     return turns.withColumn("bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
 
 
@@ -104,6 +123,7 @@ def run_with_resume(
     write_partitions: int | None = None,
     strategy: str = "relational",
     catalog: str = "parquet",
+    spans_layout: str = "identity",
 ) -> dict:
     """Run the pipeline over not-yet-completed buckets; append manifest rows.
 
@@ -125,14 +145,28 @@ def run_with_resume(
     overwrite-partitions snapshot, so no pre-clear is needed, and the
     manifest append is a snapshot commit with isolation).
 
+    ``spans_layout`` (iceberg only): 'identity' (default -- explicit
+    bucket_id column, identity-partitioned) or 'bucket' (the north_rule's
+    natural layout: spans partitioned by the SPEC's hidden
+    ``bucket(conv_id, n_buckets)`` transform, no bucket_id data column;
+    the restart bucketing switches to the same murmur3 function so one
+    todo bucket == one overwritten table partition, and downstream
+    per-conversation scans prune by bucket without any column).
+
     Returns the counter dict for the run.
     """
     if strategy not in ("relational", "fused"):
         raise ValueError(f"unknown strategy {strategy!r}: use 'relational' or 'fused'")
     if catalog not in ("parquet", "iceberg"):
         raise ValueError(f"unknown catalog {catalog!r}: use 'parquet' or 'iceberg'")
-    fingerprint = job_fingerprint(cfg, n_buckets)
-    bucketed = with_bucket(turns, n_buckets)
+    if spans_layout not in ("identity", "bucket"):
+        raise ValueError(f"unknown spans_layout {spans_layout!r}: use 'identity' or 'bucket'")
+    if spans_layout == "bucket" and catalog != "iceberg":
+        raise ValueError("spans_layout='bucket' requires catalog='iceberg' "
+                         "(hidden partition transforms are an Iceberg concept)")
+    bucket_fn = "iceberg" if spans_layout == "bucket" else "xxhash"
+    fingerprint = job_fingerprint(cfg, n_buckets, bucket_fn)
+    bucketed = with_bucket(turns, n_buckets, bucket_fn)
 
     if catalog == "iceberg":
         from p_id_text_extraction_spark.sources import iceberg as ice
@@ -164,8 +198,7 @@ def run_with_resume(
         base = extract_pipeline(todo.drop("bucket_id"), cfg, observation=obs)
     n_write = write_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     spans = (
-        base
-        .withColumn("bucket_id", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
+        with_bucket(base, n_buckets, bucket_fn)
         .withColumn("job_fingerprint", F.lit(fingerprint))
         .repartition(n_write, "bucket_id", "conv_id")
         .sortWithinPartitions("conv_id", "turn_idx", "span_rank")
@@ -179,13 +212,28 @@ def run_with_resume(
             # spans still drops its old files -- no pre-clear step, and a
             # reader never observes a half-written state.  A fully-resumed
             # run (no todo buckets) commits nothing: no empty snapshots.
-            ice.ensure_table(spark, output_dir, spans.schema,
-                             ("job_fingerprint", "bucket_id"))
-            if todo_ids:
-                ice.overwrite_span_partitions(
-                    spans, output_dir,
-                    replaced=[{"job_fingerprint": fingerprint, "bucket_id": b}
-                              for b in todo_ids])
+            if spans_layout == "bucket":
+                # hidden partitioning: no bucket_id data column -- the
+                # table's bucket(conv_id, n) transform IS the bucketing,
+                # and the restart bucket ids align by construction (same
+                # murmur3 function on both sides)
+                spans_w = spans.drop("bucket_id")
+                ice.ensure_table(spark, output_dir, spans_w.schema,
+                                 ("job_fingerprint",
+                                  f"bucket(conv_id, {n_buckets})"))
+                if todo_ids:
+                    ice.overwrite_span_partitions(
+                        spans_w, output_dir,
+                        replaced=[{"job_fingerprint": fingerprint,
+                                   "conv_id_bucket": b} for b in todo_ids])
+            else:
+                ice.ensure_table(spark, output_dir, spans.schema,
+                                 ("job_fingerprint", "bucket_id"))
+                if todo_ids:
+                    ice.overwrite_span_partitions(
+                        spans, output_dir,
+                        replaced=[{"job_fingerprint": fingerprint, "bucket_id": b}
+                                  for b in todo_ids])
         else:
             _clear_todo_partitions(spark, output_dir, fingerprint, todo_ids)
             with dynamic_partition_overwrite(spark):

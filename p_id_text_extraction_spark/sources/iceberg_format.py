@@ -171,18 +171,107 @@ def _write_version(table_path: str, meta: dict, version: int) -> None:
     os.replace(hint_tmp, os.path.join(d, "version-hint.text"))
 
 
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public reference algorithm) -- the hash the Iceberg
+    spec's bucket[N] transform requires (appendix B).  Returns the
+    unsigned 32-bit result."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(v, n: int, iceberg_type: str):
+    """The spec's bucket[N](v) partition value: murmur3 of the
+    single-value serialization (appendix B: int promotes to long,
+    little-endian 8 bytes; strings hash their UTF-8 bytes), then
+    ``(hash & Integer.MAX_VALUE) % N``.  None stays None (null
+    partition)."""
+    if v is None:
+        return None
+    if iceberg_type in ("int", "long"):
+        data = __import__("struct").pack("<q", int(v))
+    elif iceberg_type == "string":
+        data = str(v).encode("utf-8")
+    else:
+        raise NotImplementedError(f"bucket transform on type {iceberg_type!r}")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def bucket_transform_col(source_col: str, n: int, iceberg_type: str):
+    """``bucket_value`` as an Arrow-batched column expression -- the write
+    path derives hidden bucket partition values with it.  (A real Iceberg
+    Spark runtime exposes the JVM ``system.bucket(N, col)`` function; this
+    pandas UDF is the jar-less stand-in, vectorized per Arrow batch.)"""
+    from pyspark.sql import functions as F
+
+    def _bucket(s):
+        return s.map(lambda v: None if v is None
+                     else bucket_value(v, n, iceberg_type)).astype("Int32")
+
+    return F.pandas_udf(_bucket, "int")(F.col(source_col))
+
+
+def _parse_partition_spec_entry(c: str, by_name: dict, field_id: int) -> dict:
+    """One create_table partition entry -> a spec field.  Accepts a plain
+    column name (identity) or ``bucket(col, N)`` (the spec's bucket[N]
+    transform; partition field named <col>_bucket per Iceberg
+    convention)."""
+    import re
+    m = re.fullmatch(r"bucket\(\s*(\w+)\s*,\s*(\d+)\s*\)", c)
+    if m:
+        col, n = m.group(1), int(m.group(2))
+        if col not in by_name:
+            raise ValueError(f"partition column {col!r} not in schema")
+        t = by_name[col]["type"]
+        if not isinstance(t, str) or t not in ("int", "long", "string"):
+            raise NotImplementedError(f"bucket transform on type {t!r}")
+        return {"name": f"{col}_bucket", "transform": f"bucket[{n}]",
+                "source-id": by_name[col]["id"], "field-id": field_id}
+    if c not in by_name:
+        raise ValueError(f"partition column {c!r} not in schema")
+    return {"name": c, "transform": "identity",
+            "source-id": by_name[c]["id"], "field-id": field_id}
+
+
 def create_table(table_path: str, spark_schema, partition_cols: tuple[str, ...] = ()) -> dict:
-    """Create an empty Iceberg v2 table with an identity partition spec."""
+    """Create an empty Iceberg v2 table.  ``partition_cols`` entries are
+    column names (identity transform) or ``bucket(col, N)`` (hidden
+    bucket partitioning -- the source column stays a data column; the
+    murmur3 bucket exists only as the partition layout)."""
     if table_exists(table_path):
         raise FileExistsError(f"iceberg table already exists at {table_path}")
     fields, last_col = spark_schema_to_iceberg(spark_schema)
     by_name = {f["name"]: f for f in fields}
-    spec_fields = []
-    for i, c in enumerate(partition_cols):
-        if c not in by_name:
-            raise ValueError(f"partition column {c!r} not in schema")
-        spec_fields.append({"name": c, "transform": "identity",
-                            "source-id": by_name[c]["id"], "field-id": 1000 + i})
+    spec_fields = [_parse_partition_spec_entry(c, by_name, 1000 + i)
+                   for i, c in enumerate(partition_cols)]
     meta = {
         "format-version": 2,
         "table-uuid": str(_uuid.uuid5(_uuid.NAMESPACE_URL, "iceberg://" + os.path.abspath(table_path))),
@@ -219,12 +308,45 @@ def _partition_avro_schema(meta: dict) -> dict:
     schema_fields = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
     pfields = []
     for pf in spec["fields"]:
-        src = schema_fields[pf["source-id"]]
-        avro_t = {"string": "string", "int": "int", "long": "long",
-                  "double": "double", "boolean": "boolean"}[src["type"]]
+        if pf["transform"].startswith("bucket"):
+            avro_t = "int"      # bucket[N] values are ints whatever the source
+        else:
+            src = schema_fields[pf["source-id"]]
+            avro_t = {"string": "string", "int": "int", "long": "long",
+                      "double": "double", "boolean": "boolean"}[src["type"]]
         pfields.append({"name": pf["name"], "type": ["null", avro_t],
                         "default": None, "field-id": pf["field-id"]})
     return {"type": "record", "name": "r102", "fields": pfields}
+
+
+def _spec_info(meta: dict) -> list[dict]:
+    """Partition spec fields with resolved source column + value type:
+    [{name, transform, source_name, source_type, value_type, n}]."""
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    by_id = {f["id"]: f for f in meta["schemas"][meta["current-schema-id"]]["fields"]}
+    out = []
+    for pf in spec["fields"]:
+        src = by_id[pf["source-id"]]
+        info = {"name": pf["name"], "transform": pf["transform"],
+                "source_name": src["name"], "source_type": src["type"],
+                "value_type": src["type"], "n": None}
+        if pf["transform"].startswith("bucket["):
+            info["n"] = int(pf["transform"][7:-1])
+            info["value_type"] = "int"
+        out.append(info)
+    return out
+
+
+def _with_partition_cols(df, meta):
+    """Add any transform-derived partition columns missing from ``df``
+    (hidden partitioning: callers never carry bucket columns; the write
+    path derives them from the spec)."""
+    for info in _spec_info(meta):
+        if info["transform"] == "identity" or info["name"] in df.columns:
+            continue
+        df = df.withColumn(info["name"], bucket_transform_col(
+            info["source_name"], info["n"], info["source_type"]))
+    return df
 
 
 def _bounds_avro_type(name: str) -> dict:
@@ -837,6 +959,11 @@ def _stage_datafiles(df, table_path: str, partition_cols: tuple[str, ...],
         f = schema_fields.get(c)
         if f is not None:
             df = df.withMetadata(c, {"parquet.field.id": f["id"]})
+    # hidden partitioning: derive transform columns (e.g. bucket[N]) the
+    # caller's df doesn't carry; partitionBy turns them into directories
+    # only -- the source column stays in the data files
+    df = _with_partition_cols(df, meta)
+    ptypes = {i["name"]: i["value_type"] for i in _spec_info(meta)}
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -853,7 +980,7 @@ def _stage_datafiles(df, table_path: str, partition_cols: tuple[str, ...],
             for piece in ([] if rel == "." else rel.split(os.sep)):
                 k, _, v = piece.partition("=")
                 v = urllib.parse.unquote(v)
-                partition[k] = _parse_partition_value(v, schema_fields[k]["type"])
+                partition[k] = _parse_partition_value(v, ptypes[k])
             dest_dir = os.path.join(data_dir, "" if rel == "." else rel)
             os.makedirs(dest_dir, exist_ok=True)
             dest = os.path.join(dest_dir, f"{writer_tag}-{fname}")
@@ -924,6 +1051,10 @@ def compact_partitions(spark, table_path: str,
         return {"partitions": 0, "files_before": 0, "files_after": 0}
     replaced = [dict(k) for k in todo]
     df = read_table(spark, table_path)
+    # hidden transform partitions (bucket[N]): re-derive the partition
+    # columns so the filter/repartition below can reference them; they
+    # become directories again at write time, never data columns
+    df = _with_partition_cols(df, meta)
     if part_cols:
         from functools import reduce
 
@@ -1003,8 +1134,18 @@ def read_table(spark, table_path: str, snapshot_id: int | None = None,
     deletes = plan_delete_files(table_path, snapshot_id)
     reader = (spark.read.schema(ddl)
               .option("basePath", os.path.join(table_path, "data")))
+    # hidden-transform partition dirs (bucket[N]) surface as discovered
+    # columns outside the table schema -- project them away; identity
+    # tables keep their historical column order untouched
+    if any(i["transform"] != "identity" for i in _spec_info(meta)):
+        schema_cols = [f["name"] for f in fields]
+        def _project(df):
+            return df.select(*schema_cols)
+    else:
+        def _project(df):
+            return df
     if not deletes:
-        return reader.parquet(*[f["file_path"] for f in files])
+        return _project(reader.parquet(*[f["file_path"] for f in files]))
     pos_dels = [d for d in deletes if d.get("content", 1) == 1]
     eq_dels = [d for d in deletes if d.get("content", 1) == 2]
     # split the scan: files no delete can touch read clean; the rest carry
@@ -1082,4 +1223,4 @@ def read_table(spark, table_path: str, snapshot_id: int | None = None,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return _project(out)

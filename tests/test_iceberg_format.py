@@ -182,6 +182,58 @@ def test_resume_with_iceberg_catalog(spark, tmp_path):
     assert len(ice.snapshot_ids(man)) == 2   # one manifest append per productive run
 
 
+def test_resume_with_bucket_partitioned_spans(spark, tmp_path):
+    """spans_layout='bucket': the spans table uses the spec's HIDDEN
+    bucket(conv_id, n) partitioning (no bucket_id data column), the
+    restart bucketing switches to the same murmur3 so one todo bucket ==
+    one overwritten partition, kill/resume stays byte-identical to the
+    identity layout, and scans prune by bucket value."""
+    turns = transcripts_df(spark, gen_turns(40, max_turns=10, seed=3))
+    out, man = str(tmp_path / "spans_b"), str(tmp_path / "man_b")
+    r1 = run_with_resume(spark, turns, out, man, n_buckets=8,
+                         bucket_filter=[0, 1, 2, 3], catalog="iceberg",
+                         spans_layout="bucket")
+    assert r1["buckets_completed"] == 4
+    r2 = run_with_resume(spark, turns, out, man, n_buckets=8,
+                         catalog="iceberg", spans_layout="bucket")
+    assert r2["buckets_completed"] == 4
+    r3 = run_with_resume(spark, turns, out, man, n_buckets=8,
+                         catalog="iceberg", spans_layout="bucket")
+    assert r3["buckets_completed"] == 0
+
+    got = ice.read_table(spark, out)
+    assert "bucket_id" not in got.columns      # hidden, not a data column
+    # byte-identical to the identity-layout run
+    run_with_resume(spark, turns, str(tmp_path / "pq"), str(tmp_path / "pqm"),
+                    n_buckets=8)
+    a = [tuple(r) for r in got.drop("job_fingerprint").orderBy(*KEY).collect()]
+    b = [tuple(r) for r in spark.read.parquet(str(tmp_path / "pq"))
+         .drop("bucket_id", "job_fingerprint").orderBy(*KEY).collect()]
+    assert a == b and len(a) > 100
+
+    # partition layout: conv_id_bucket dirs, aligned with the spec function
+    import pyarrow.parquet as pq
+    for f in ice.plan_files(out)[:4]:
+        assert set(f["partition"]) == {"job_fingerprint", "conv_id_bucket"}
+        rows = pq.read_table(f["file_path"], columns=["conv_id"]).to_pylist()
+        assert all(ice.bucket_value(r["conv_id"], 8, "string")
+                   == f["partition"]["conv_id_bucket"] for r in rows)
+    # pruned scan returns exactly one bucket's conversations
+    some_conv = got.select("conv_id").first().conv_id
+    bb = ice.bucket_value(some_conv, 8, "string")
+    pruned = ice.read_table(spark, out,
+                            partition_filter={"conv_id_bucket": bb})
+    convs = {r.conv_id for r in pruned.select("conv_id").distinct().collect()}
+    assert some_conv in convs
+    assert all(ice.bucket_value(c, 8, "string") == bb for c in convs)
+    # layout is part of the job identity: bucket and identity runs of the
+    # same config never share manifest rows
+    from p_id_text_extraction_spark.config import DEFAULT_CONFIG
+    from p_id_text_extraction_spark.plans.checkpoint import job_fingerprint
+    assert job_fingerprint(DEFAULT_CONFIG, 8, "iceberg") != \
+        job_fingerprint(DEFAULT_CONFIG, 8)
+
+
 def test_fused_strategy_through_iceberg(spark, tmp_path):
     """Both strategies must write byte-identical spans through the Iceberg
     catalog path too."""
@@ -589,6 +641,69 @@ def test_compact_partitions(spark, table):
     # time travel to the pre-compaction snapshot still works
     assert sorted(map(tuple, ice.read_table(
         spark, table, snapshot_id=pre_snap).collect())) == before
+
+
+def test_bucket_transform_spec_vectors():
+    """murmur3_x86_32 + bucket serialization must match the Iceberg spec's
+    published appendix-B test vectors (int promotes to long, little-endian
+    8 bytes; strings hash UTF-8 bytes)."""
+    import struct
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+    assert signed(ice.murmur3_32(struct.pack("<q", 34))) == 2017239379
+    assert signed(ice.murmur3_32(b"iceberg")) == 1210000089
+    assert ice.bucket_value(None, 8, "string") is None
+    assert 0 <= ice.bucket_value("conv", 8, "string") < 8
+    # int and long sources agree (promotion rule)
+    assert ice.bucket_value(34, 16, "int") == ice.bucket_value(34, 16, "long")
+
+
+def test_bucket_partitioned_table_write_read_prune_overwrite(spark, tmp_path):
+    """Hidden bucket[N] partitioning: the source column stays a data
+    column, the murmur3 bucket exists only as the directory layout; scans
+    prune by bucket value; overwrite-partitions by bucket drops exactly
+    that bucket's rows; compaction re-derives the hidden columns."""
+    path = str(tmp_path / "btab")
+    df = spark.createDataFrame([(f"conv{i}", i, f"t{i}") for i in range(40)],
+                               "conv_id string, n bigint, text string")
+    ice.create_table(path, df.schema, partition_cols=("bucket(conv_id, 8)",))
+    ice.write_dataframe(df, path, mode="append")
+    files = ice.plan_files(path)
+    buckets = {f["partition"]["conv_id_bucket"] for f in files}
+    assert buckets <= set(range(8)) and len(buckets) > 1
+    got = ice.read_table(spark, path)
+    assert got.columns == ["conv_id", "n", "text"]   # no hidden col leaks
+    assert got.count() == 40
+    # every file's dir bucket matches the spec function of its rows
+    import pyarrow.parquet as pq
+    for f in files[:6]:
+        rows = pq.read_table(f["file_path"], columns=["conv_id"]).to_pylist()
+        assert all(ice.bucket_value(r["conv_id"], 8, "string")
+                   == f["partition"]["conv_id_bucket"] for r in rows)
+    # scan pruning by bucket
+    b = ice.bucket_value("conv7", 8, "string")
+    pruned = ice.plan_files(path, partition_filter={"conv_id_bucket": b})
+    assert 0 < len(pruned) < len(files)
+    convs = {r.conv_id for r in ice.read_table(
+        spark, path, partition_filter={"conv_id_bucket": b}).collect()}
+    assert "conv7" in convs
+    assert all(ice.bucket_value(c, 8, "string") == b for c in convs)
+    # overwrite ONE bucket partition: exactly its old rows vanish
+    bx = ice.bucket_value("convX", 8, "string")
+    ice.write_dataframe(spark.createDataFrame([("convX", 99, "new")], df.schema),
+                        path, mode="overwrite_partitions",
+                        replaced=[{"conv_id_bucket": bx}])
+    survivors = {r.conv_id for r in ice.read_table(spark, path).collect()}
+    dropped = {f"conv{i}" for i in range(40)
+               if ice.bucket_value(f"conv{i}", 8, "string") == bx}
+    assert "convX" in survivors and not (dropped & survivors)
+    # compaction re-derives the hidden bucket columns for its rewrite
+    before = sorted(map(tuple, ice.read_table(spark, path).collect()))
+    stats = ice.compact_partitions(spark, path, min_files=2,
+                                   small_file_bytes=1 << 30)
+    assert stats["partitions"] >= 1
+    assert sorted(map(tuple, ice.read_table(spark, path).collect())) == before
 
 
 def test_compact_null_partition_keeps_rows(spark, tmp_path):

@@ -217,6 +217,8 @@ def test_streaming_dedup_state_ttl_evicts_and_readmits(spark, tmp_path):
         # observable effect, then stop the query explicitly
         deadline = _t.monotonic() + secs
         while _t.monotonic() < deadline:
+            if q.exception() is not None:      # query died: fail loudly
+                raise RuntimeError(q.exception())
             try:
                 if cond():
                     return
@@ -247,13 +249,18 @@ def test_streaming_dedup_state_ttl_evicts_and_readmits(spark, tmp_path):
     q = dedup_stream(spark.readStream.schema("doc_id bigint, text string").parquet(src),
                      out, ckpt, trigger_available_now=False, state_ttl_ms=TTL)
 
-    def state_plateaued():
+    def caught_up():
+        # the restarted query may REPLAY batch 1 first (state rows == 2
+        # from A,B) -- require the re-admitted doc-9 output row too, so
+        # the poll can't release on the replayed batch
         rows = [p["stateOperators"][0]["numRowsTotal"]
                 for p in q.recentProgress if p.get("stateOperators")]
-        return rows and rows[-1] == 2
+        pdf = out_pdf()
+        return (rows and rows[-1] == 2
+                and len(pdf[(pdf.doc_id == 9) & pdf.is_new]) == 1)
     # state PLATEAUS: B's row evicted by the timeout, old-A re-stamped ->
     # 2 live rows (A, C), not 3 fingerprints ever seen
-    poll(q, state_plateaued)
+    poll(q, caught_up)
     q.stop()
 
     got = spark.read.parquet(out).toPandas()
