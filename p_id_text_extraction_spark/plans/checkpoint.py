@@ -38,10 +38,12 @@ from p_id_text_extraction_spark.config import DEFAULT_CONFIG, ExtractConfig
 from p_id_text_extraction_spark.plans.pipeline import extract_pipeline
 
 MANIFEST_COLUMNS = ["bucket_id", "job_fingerprint", "turns_in", "spans_out",
-                    "classifier_drop_rate", "input_probe", "completed_ts"]
+                    "classifier_drop_rate", "task_rows_max",
+                    "task_rows_median", "input_probe", "completed_ts"]
 
 MANIFEST_SCHEMA = ("bucket_id int, job_fingerprint string, turns_in long, "
                    "spans_out long, classifier_drop_rate double, "
+                   "task_rows_max long, task_rows_median long, "
                    "input_probe string, completed_ts timestamp")
 
 # input_probe values: an audit trail for zero-turn buckets.  'counted'
@@ -250,6 +252,16 @@ def run_with_resume(
         # bucket row of this run.
         per_bucket = {r.bucket_id: r.cnt
                       for r in spans.groupBy("bucket_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        # WRITE-STAGE SKEW COUNTERS: rows per task of the cached spans'
+        # (bucket_id, conv_id) partitioning -- the production measurement
+        # of the skew story (a hot conversation concentrates its spans in
+        # one task).  One pass over the cache, <= n_write tiny rows back.
+        import statistics
+        pp = [r.cnt for r in spans.groupBy(
+            F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()]
+        task_rows_max = max(pp) if pp else 0
+        task_rows_median = int(statistics.median(pp)) if pp else 0
     finally:
         spans.unpersist()
     try:
@@ -283,6 +295,7 @@ def run_with_resume(
         record = False
     manifest_rows = [
         (b, fingerprint, int(turns_in.get(b, 0)), int(per_bucket.get(b, 0)), float(drop_rate),
+         int(task_rows_max), int(task_rows_median),
          PROBE_COUNTED if turns_in.get(b, 0) else PROBE_HASH_EMPTY, now)
         for b in sorted(todo_ids)
     ] if record else []
@@ -294,4 +307,6 @@ def run_with_resume(
         else:
             mdf.write.mode("append").parquet(manifest_dir)
 
-    return {"fingerprint": fingerprint, "buckets_completed": len(manifest_rows)}
+    return {"fingerprint": fingerprint, "buckets_completed": len(manifest_rows),
+            "task_rows_max": int(task_rows_max),
+            "task_rows_median": int(task_rows_median)}

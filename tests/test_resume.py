@@ -53,6 +53,29 @@ def test_manifest_lineage_counters(spark, turns_df, tmp_path):
         # boxes-before/after ratio analogue (grouping_logic.py:978-983)
         assert 0.0 <= r.classifier_drop_rate < 1.0
         assert r.input_probe == "counted"
+    # write-stage skew counters: run-level, stamped on every bucket row;
+    # plan arithmetic -- max covers the pigeonhole bound of the total over
+    # the write partitioning, median never exceeds max
+    import math
+    total = sum(r.spans_out for r in rows)
+    n_write = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for r in rows:
+        assert 0 < r.task_rows_median <= r.task_rows_max <= total
+        assert r.task_rows_max >= math.ceil(total / n_write)
+
+
+def test_manifest_skew_counters_flag_hot_conversation(spark, tmp_path):
+    """A hot conversation (5000 turns vs max-20 elsewhere) concentrates
+    its spans in one write task -- the manifest's task_rows_max/median
+    ratio must surface it, which is the production observability the
+    skew story promises."""
+    from p_id_text_extraction_spark.sources.transcripts import gen_skew_turns
+    turns = transcripts_df(spark, gen_skew_turns())
+    out, man = str(tmp_path / "o"), str(tmp_path / "m")
+    r = run_with_resume(spark, turns, out, man, n_buckets=4)
+    assert r["task_rows_max"] / max(1, r["task_rows_median"]) > 2
+    rows = spark.read.parquet(man).collect()
+    assert all(row.task_rows_max == r["task_rows_max"] for row in rows)
 
 
 def test_manifest_flags_hash_empty_buckets(spark, turns_df, tmp_path):
