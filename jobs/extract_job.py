@@ -40,6 +40,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="sink format: partitioned parquet, or Iceberg tables "
                         "(snapshot-committed spans + manifest; the input path "
                         "may also be an Iceberg table in either mode)")
+    p.add_argument("--spans-layout", choices=["identity", "bucket"],
+                   default="identity",
+                   help="iceberg only: 'bucket' partitions the spans table by "
+                        "the spec's hidden bucket(conv_id, N) transform (no "
+                        "bucket_id data column; scans prune by bucket)")
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (sandbox only)")
     p.add_argument("--block-size", type=int, default=256)
     p.add_argument("--overlap", type=float, default=0.1)
@@ -73,6 +78,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         result = run_with_resume(
             spark, turns, args.output, args.manifest, cfg=cfg, n_buckets=args.buckets,
             strategy=args.strategy, catalog=args.catalog,
+            spans_layout=args.spans_layout,
         )
         print(json.dumps(result))
         return 0
