@@ -105,9 +105,12 @@ def ensure_dataset() -> dict:
     df = base.unionByName(mega_shard(spark))
     tmp = DATA_DIR + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    # ~1k files: task-granular at 32 cores, and the 2MB scan splits in the
-    # timed runs re-split them anyway
-    df.write.mode("overwrite").parquet(tmp)
+    # ~4k files of ~5 MB: parquet can't split BELOW a row group, and big
+    # files get one ~70 MB row group -- sub-row-group byte-range splits
+    # then schedule as EMPTY tasks while ~300 giant tasks do all the work
+    # (first attempt's failure mode).  File-granular tasks are the real
+    # straggler bound.
+    df.repartition(4096).write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     spark.stop()
     shutil.rmtree(DATA_DIR, ignore_errors=True)
@@ -127,8 +130,10 @@ def timed_fused() -> dict:
     from p_id_text_extraction_spark.sources.transcripts import read_transcripts
     shutil.rmtree(EVENT_DIR, ignore_errors=True)
     os.makedirs(EVENT_DIR, exist_ok=True)
+    # 8m splits pack ~1-2 of the ~5MB files per task (no sub-row-group
+    # empty splits); ~3k tasks = ~100 waves at 32 cores
     spark = get_spark(app="sf10x_fused", cores=CPUS, shuffle_partitions=CPUS,
-                      extra={"spark.sql.files.maxPartitionBytes": "2m",
+                      extra={"spark.sql.files.maxPartitionBytes": "8m",
                              "spark.sql.files.openCostInBytes": "262144",
                              "spark.eventLog.enabled": "true",
                              "spark.eventLog.compress": "false",
@@ -288,7 +293,7 @@ def main() -> None:
         "emits).  Deterministic per-conv md5 derivation -- the bench table two",
         "decades up, not new data.",
         "",
-        "## Walls (local[32], 2MB scan splits, noop sink)",
+        "## Walls (local[32], ~5MB file-granular tasks, noop sink)",
         "",
         "| pipeline | walls s | turns/sec |",
         "| --- | --- | --- |",
@@ -303,8 +308,9 @@ def main() -> None:
         f"**max/median = {fused['tasks']['max_over_median']}** (event-log",
         "task-end deltas, stage id "
         f"{fused['tasks']['stage_id']}).  The mega-conversations do NOT own",
-        "whole tasks: the fused kernel is per-turn and the 2MB scan splits",
-        "slice even a 200k-turn conversation across many tasks -- which is",
+        "whole tasks: the fused kernel is per-turn and the ~5MB file-granular",
+        "scan tasks slice even a 200k-turn conversation across many tasks --",
+        "which is",
         "exactly the design claim (SURVEY 7.3-4): wall time is bounded by the",
         "slowest SPLIT, not the largest conversation.",
         "",
