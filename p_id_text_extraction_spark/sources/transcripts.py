@@ -168,10 +168,18 @@ def gen_conv(conv_id: str, max_turns: int = 50) -> list[dict]:
     return [gen_turn(conv_id, t, offset) for t in range(conv_turn_count(conv_id, max_turns))]
 
 
-def distributed_transcripts(spark: SparkSession, n_convs: int, max_turns: int = 50) -> DataFrame:
+def distributed_transcripts(spark: SparkSession, n_convs: int, max_turns: int = 50,
+                            partitions: int = 256) -> DataFrame:
     """Deterministic transcripts table minted IN PARALLEL on executors:
     spark.range over conv indices -> mapInPandas generating each conv's
-    turns.  Identical output for identical (n_convs, max_turns)."""
+    turns.  Identical output for identical (n_convs, max_turns).
+
+    ``partitions`` sets the pre-generation fan-out (the default 256 output
+    files = 8 task waves at 32 cores -- fine-grained tasks smooth the
+    zipf-sized stragglers at the tail of the stage).  Scale it UP for big
+    corpora: the repartition shuffles only the conv-id LONGS, so this is
+    the cheap place to control output file count -- repartitioning the
+    generated text afterwards shuffles the whole corpus."""
     import pandas as pd
 
     def kernel(batches):
@@ -181,10 +189,7 @@ def distributed_transcripts(spark: SparkSession, n_convs: int, max_turns: int = 
                 rows.extend(gen_conv(f"conv-{int(i):06d}", max_turns))
             yield pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
-    # 256 output files: at 32 cores that is 8 task waves instead of 2 --
-    # fine-grained tasks smooth the zipf-sized stragglers at the tail of
-    # the stage (the map-only pipeline's wall time is its slowest wave)
-    return spark.range(n_convs).repartition(256).mapInPandas(kernel, TRANSCRIPT_SCHEMA)
+    return spark.range(n_convs).repartition(partitions).mapInPandas(kernel, TRANSCRIPT_SCHEMA)
 
 
 def transcripts_df(spark: SparkSession, turns: list[dict]) -> DataFrame:

@@ -101,16 +101,18 @@ def ensure_dataset() -> dict:
     from p_id_text_extraction_spark.sources.transcripts import distributed_transcripts
     spark = get_spark(app="sf10x_gen", cores=CPUS, shuffle_partitions=CPUS)
     t0 = time.monotonic()
-    base = distributed_transcripts(spark, N_CONVS)
-    df = base.unionByName(mega_shard(spark))
-    tmp = DATA_DIR + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
     # ~4k files of ~5 MB: parquet can't split BELOW a row group, and big
     # files get one ~70 MB row group -- sub-row-group byte-range splits
     # then schedule as EMPTY tasks while ~300 giant tasks do all the work
-    # (first attempt's failure mode).  File-granular tasks are the real
-    # straggler bound.
-    df.repartition(4096).write.mode("overwrite").parquet(tmp)
+    # (first attempt's failure mode).  The fan-out happens on the
+    # GENERATOR'S id range (longs); repartitioning the generated text
+    # afterwards shuffles 22 GB through one JVM and OOMs it (second
+    # attempt's failure mode).
+    base = distributed_transcripts(spark, N_CONVS, partitions=4032)
+    df = base.unionByName(mega_shard(spark))
+    tmp = DATA_DIR + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     spark.stop()
     shutil.rmtree(DATA_DIR, ignore_errors=True)
