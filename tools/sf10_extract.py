@@ -213,7 +213,9 @@ def checksum(spark, path: str):
 def resume_cycle() -> dict:
     """Uninterrupted vs killed-and-resumed at 32 buckets: identical
     order-insensitive checksum, idempotent third run.  Outputs deleted as
-    soon as checksummed (disk)."""
+    soon as checksummed, and the runs use the FUSED production strategy --
+    three relational runs would each spill a 22GB shuffle on top of the
+    spans cache + output, more scratch than this box has."""
     from p_id_text_extraction_spark.plans.checkpoint import run_with_resume
     from p_id_text_extraction_spark.session import get_spark
     from p_id_text_extraction_spark.sources.transcripts import read_transcripts
@@ -225,18 +227,20 @@ def resume_cycle() -> dict:
     for d in (out_a, man_a, out_b, man_b):
         shutil.rmtree(d, ignore_errors=True)
     t0 = time.monotonic()
-    run_with_resume(spark, turns, out_a, man_a, n_buckets=32)
+    run_with_resume(spark, turns, out_a, man_a, n_buckets=32, strategy="fused")
     wall_full = round(time.monotonic() - t0, 1)
     ck_a = checksum(spark, out_a)
     shutil.rmtree(out_a)
     t0 = time.monotonic()
     r1 = run_with_resume(spark, turns, out_b, man_b, n_buckets=32,
-                         bucket_filter=list(range(8)))
+                         bucket_filter=list(range(8)), strategy="fused")
     wall_part = round(time.monotonic() - t0, 1)
     t0 = time.monotonic()
-    r2 = run_with_resume(spark, turns, out_b, man_b, n_buckets=32)
+    r2 = run_with_resume(spark, turns, out_b, man_b, n_buckets=32,
+                         strategy="fused")
     wall_resume = round(time.monotonic() - t0, 1)
-    r3 = run_with_resume(spark, turns, out_b, man_b, n_buckets=32)
+    r3 = run_with_resume(spark, turns, out_b, man_b, n_buckets=32,
+                         strategy="fused")
     ck_b = checksum(spark, out_b)
     for d in (out_b, man_a, man_b):
         shutil.rmtree(d, ignore_errors=True)
@@ -316,7 +320,7 @@ def main() -> None:
         "exactly the design claim (SURVEY 7.3-4): wall time is bounded by the",
         "slowest SPLIT, not the largest conversation.",
         "",
-        "## Kill-and-resume at 32 buckets",
+        "## Kill-and-resume at 32 buckets (fused production strategy)",
         "",
         f"Uninterrupted run: {res['wall_uninterrupted_s']}s.  Killed run:",
         f"8/32 buckets ({res['wall_partial_8_of_32_s']}s), resume completes",
