@@ -200,49 +200,68 @@ def timed_relational() -> dict:
     return {"turns": n, "wall_s": wall, "turns_per_sec": round(n / wall, 1)}
 
 
-def checksum(spark, path: str):
+def checksum_df(df):
     from pyspark.sql import functions as F
-    df = spark.read.parquet(path).drop("bucket_id", "job_fingerprint")
+    df = df.drop("bucket_id", "job_fingerprint")
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.xxhash64(F.struct(*sorted(df.columns))).cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
-    return int(row.n), int(row.h)
+    return int(row.n), int(row.h or 0)
 
 
 def resume_cycle() -> dict:
-    """Uninterrupted vs killed-and-resumed at 32 buckets: identical
-    order-insensitive checksum, idempotent third run.  Outputs deleted as
-    soon as checksummed, and the runs use the FUSED production strategy --
-    three relational runs would each spill a 22GB shuffle on top of the
-    spans cache + output, more scratch than this box has."""
+    """Killed-and-resumed at 32 buckets must equal the uninterrupted
+    pipeline: identical order-insensitive checksum, idempotent third run.
+
+    Disk shape (this box has ~57 GB scratch and the corpus is 22 GB):
+    the uninterrupted baseline is checksummed IN-PLAN over the fused
+    pipeline -- a map-only scan into a 1-row aggregate, zero output, zero
+    spill -- instead of materializing a second 20 GB spans tree; each
+    resume phase runs in its OWN session so shuffle scratch (the
+    repartition before the write) is freed between phases; and the runs
+    use the FUSED production strategy (three relational runs would each
+    add a 22 GB shuffle spill on top)."""
+    from pyspark.sql import functions as F  # noqa: F401  (checksum_df)
+
     from p_id_text_extraction_spark.plans.checkpoint import run_with_resume
+    from p_id_text_extraction_spark.plans.pipeline import extract_pipeline_fused
     from p_id_text_extraction_spark.session import get_spark
     from p_id_text_extraction_spark.sources.transcripts import read_transcripts
-    spark = get_spark(app="sf10x_resume", cores=CPUS, shuffle_partitions=256,
-                      extra={"spark.sql.files.maxPartitionBytes": "16m"})
-    turns = read_transcripts(spark, DATA_DIR)
-    out_a, man_a = "/tmp/sf10x_spans_a", "/tmp/sf10x_man_a"
     out_b, man_b = "/tmp/sf10x_spans_b", "/tmp/sf10x_man_b"
-    for d in (out_a, man_a, out_b, man_b):
+    for d in (out_b, man_b):
         shutil.rmtree(d, ignore_errors=True)
+
+    def session():
+        return get_spark(app="sf10x_resume", cores=CPUS, shuffle_partitions=256,
+                         extra={"spark.sql.files.maxPartitionBytes": "16m"})
+
+    # phase 0: logical uninterrupted baseline, zero-output
+    spark = session()
     t0 = time.monotonic()
-    run_with_resume(spark, turns, out_a, man_a, n_buckets=32, strategy="fused")
+    ck_a = checksum_df(extract_pipeline_fused(read_transcripts(spark, DATA_DIR)))
     wall_full = round(time.monotonic() - t0, 1)
-    ck_a = checksum(spark, out_a)
-    shutil.rmtree(out_a)
+    spark.stop()
+    # phase 1: the "killed" run -- 8 of 32 buckets land
+    spark = session()
     t0 = time.monotonic()
-    r1 = run_with_resume(spark, turns, out_b, man_b, n_buckets=32,
-                         bucket_filter=list(range(8)), strategy="fused")
+    r1 = run_with_resume(spark, read_transcripts(spark, DATA_DIR), out_b, man_b,
+                         n_buckets=32, bucket_filter=list(range(8)),
+                         strategy="fused")
     wall_part = round(time.monotonic() - t0, 1)
+    spark.stop()
+    # phase 2: resume completes the remaining 24; third run is a no-op;
+    # checksum the resumed output
+    spark = session()
+    turns = read_transcripts(spark, DATA_DIR)
     t0 = time.monotonic()
     r2 = run_with_resume(spark, turns, out_b, man_b, n_buckets=32,
                          strategy="fused")
     wall_resume = round(time.monotonic() - t0, 1)
     r3 = run_with_resume(spark, turns, out_b, man_b, n_buckets=32,
                          strategy="fused")
-    ck_b = checksum(spark, out_b)
-    for d in (out_b, man_a, man_b):
+    ck_b = checksum_df(spark.read.parquet(out_b))
+    for d in (out_b, man_b):
         shutil.rmtree(d, ignore_errors=True)
     spark.stop()
     assert r1["buckets_completed"] == 8 and r2["buckets_completed"] == 24, (r1, r2)
@@ -272,16 +291,37 @@ def extract_oracles() -> str:
     return tail
 
 
+STATE = "/tmp/sf10x_state.json"
+
+
+def _phase(state: dict, name: str, fn):
+    """Run a phase once; a crash later in the script never redoes a
+    completed 10-25 minute phase (results cached to STATE)."""
+    if name in state:
+        log(f"{name}: reused {state[name]}")
+        return state[name]
+    state[name] = fn()
+    with open(STATE, "w") as f:
+        json.dump(state, f)
+    return state[name]
+
+
 def main() -> None:
     t_start = time.monotonic()
     info = ensure_dataset()
-    fused = timed_fused()
+    state = {}
+    if os.path.isfile(STATE):
+        state = json.load(open(STATE))
+        if state.get("_dataset") != info.get("turns"):
+            state = {}
+    state["_dataset"] = info.get("turns")
+    fused = _phase(state, "fused", timed_fused)
     log(f"fused: {fused['walls']} s -> {fused['turns_per_sec']} turns/s; "
         f"tasks {fused['tasks']}")
-    rel = timed_relational() if RUN_RELATIONAL else None
+    rel = _phase(state, "relational", timed_relational) if RUN_RELATIONAL else None
     if rel:
         log(f"relational: {rel['wall_s']} s -> {rel['turns_per_sec']} turns/s")
-    res = resume_cycle()
+    res = _phase(state, "resume", resume_cycle)
     log(f"resume: {res}")
     oracles = extract_oracles()
     log(f"oracles:\n{oracles}")
@@ -322,7 +362,8 @@ def main() -> None:
         "",
         "## Kill-and-resume at 32 buckets (fused production strategy)",
         "",
-        f"Uninterrupted run: {res['wall_uninterrupted_s']}s.  Killed run:",
+        f"Uninterrupted baseline (in-plan checksum over the fused pipeline,",
+        f"zero output): {res['wall_uninterrupted_s']}s.  Killed run:",
         f"8/32 buckets ({res['wall_partial_8_of_32_s']}s), resume completes",
         f"24/32 ({res['wall_resume_24_of_32_s']}s); third run commits 0.",
         f"Order-insensitive checksum over every span column (n="
