@@ -51,19 +51,19 @@ def make_detect_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
 
     @pandas_udf(DETECT_RESULT)
     def detect(text: pd.Series) -> pd.DataFrame:
+        KIND_CODE = spec.KIND_CODE
         norm_texts: list[str] = []
         cands_col: list[str] = []
         for txt in text.tolist():  # plain-list iteration beats Series iteration
-            norm_text, _payload_kind = spec.parse_payload(
-                txt if isinstance(txt, str) else None, None, None,
-            )
-            parts: list[str] = []
-            for idx, b_start, b_end in spec.segment_offsets(len(norm_text), cfg):
-                for s, e, kind, conf in spec.detect_spans(norm_text, b_start, b_end, cfg):
-                    g_start, g_end = b_start + s, b_start + e
-                    ls, le = spec.line_bounds(norm_text, g_start, g_end)
-                    kflag = "0" if kind == spec.KIND_CODE else "1"
-                    parts.append(f"{idx},{g_start},{g_end},{kflag},{conf},{ls},{le}")
+            norm_text = spec.parse_canvas(txt if isinstance(txt, str) else None)
+            # one-pass segment+detect+line_bounds (same order as the staged
+            # nested loops: block-major, position-minor)
+            parts = [
+                f"{idx},{g_start},{g_end},{'0' if kind == KIND_CODE else '1'},"
+                f"{conf},{ls},{le}"
+                for idx, g_start, g_end, kind, conf, ls, le
+                in spec.detect_all_spans(norm_text, cfg)
+            ]
             if parts:
                 # sentinel entry (block -1, span [-1,-1)): sorts first, can
                 # never be suppressed or absorb a real cluster, and is the

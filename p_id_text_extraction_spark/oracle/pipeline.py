@@ -168,20 +168,22 @@ def extract_turn_tuples(
     tests/test_spec.py property pins `extract_turn` == staged composition).
     Returns tuples in OUTPUT_FIELDS order.
     """
-    norm_text, _kind = spec.parse_payload(text, role, tool)
+    norm_text = spec.parse_canvas(text)
     n = len(norm_text)
-    cands: list[tuple] = []
-    for idx, b_start, b_end in spec.segment_offsets(n, cfg):
-        for s, e, kind, conf in spec.detect_spans(norm_text, b_start, b_end, cfg):
-            g_start, g_end = b_start + s, b_start + e   # local -> global shift
-            ls, le = spec.line_bounds(norm_text, g_start, g_end)
-            cands.append((g_start, -g_end, kind, idx, conf, ls, le))
+    # one-pass segment+detect+line_bounds (spec.detect_all_spans is
+    # property-pinned against the staged composition)
+    cands = [(g_start, -g_end, kind, idx, conf, ls, le)
+             for idx, g_start, g_end, kind, conf, ls, le
+             in spec.detect_all_spans(norm_text, cfg)]
     if not cands:
         return []
     cands.sort()
 
     thresh = cfg.contain_threshold_milli
     gap = cfg.proximity_gap
+    pad = cfg.pad
+    coord_scale = cfg.coord_scale
+    coord_round = cfg.coord_round
     sup_runmax = None          # suppress: running max over ALL rows
     cl_runmax = None           # cluster: running max over KEPT rows
     clusters: list[list] = []  # [m_start, m_end, kind, conf, ls, le, {idx}]
@@ -217,8 +219,8 @@ def extract_turn_tuples(
 
     rows: list[tuple] = []
     for m_start, m_end, kind, conf, ls, le, idxs in clusters:
-        c_start = max(0, m_start - cfg.pad, ls)
-        c_end = min(n, m_end + cfg.pad, le)
+        c_start = max(0, m_start - pad, ls)
+        c_end = min(n, m_end + pad, le)
         if c_end <= c_start:                              # zero-size crop skip (F7)
             continue
         out_text, method = spec.normalize_text(norm_text[c_start:c_end], conf, cfg)
@@ -233,8 +235,8 @@ def extract_turn_tuples(
     return [
         (conv_id, turn_idx, rank, c_start, c_end,
          c_start / n, c_end / n,
-         round(c_start * cfg.coord_scale, cfg.coord_round),
-         round(c_end * cfg.coord_scale, cfg.coord_round),
+         round(c_start * coord_scale, coord_round),
+         round(c_end * coord_scale, coord_round),
          kind, out_text, conf / 1000.0, method, provenance, grouped)
         for rank, (c_start, c_end, kind, out_text, method, provenance, grouped, conf)
         in enumerate(rows, start=1)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import re
+from bisect import bisect_left
 
 from p_id_text_extraction_spark.config import DEFAULT_CONFIG, ExtractConfig
 
@@ -90,7 +91,7 @@ def parse_payload(text: str | None, role: str | None, tool: str | None) -> tuple
 
     # tool-JSON unwrap: a JSON envelope with a nested text field
     # (FIXTURES.md payload mix #4).
-    if stripped.startswith("{") and stripped.endswith("}"):
+    if stripped[0] == "{" and stripped[-1] == "}":
         try:
             obj = json.loads(stripped)
         except (ValueError, RecursionError):
@@ -103,12 +104,43 @@ def parse_payload(text: str | None, role: str | None, tool: str | None) -> tuple
             # JSON but no text field: canvas is the compact re-serialization
             return json.dumps(obj, sort_keys=True, separators=(",", ":")), "tool_json"
 
-    if _HTML_TAG_RE.search(text):
+    # '<' memchr gate: 40%+ of payloads are plain prose with no tags at
+    # all -- skip the alternation regex scan entirely for them (guide 1.2
+    # step 2: per-task work).  _HTML_TAG_RE can only match at a '<'.
+    if "<" in text and _HTML_TAG_RE.search(text):
         return _parse_html(text), "html"
 
     if _MD_MARKER_RE.search(text):
         return text, "markdown"
     return text, "plain"
+
+
+def parse_canvas(text: str | None) -> str:
+    """The canvas text alone -- ``parse_payload(text, None, None)[0]``
+    without the markdown/plain classification, whose multiline anchored
+    regex scan is pure overhead for callers that discard the payload kind
+    (the hot extraction kernels do; markdown and plain both return the
+    payload verbatim, so the canvas is identical either way).  Equality
+    with parse_payload is property-pinned in tests/test_fuzz_spec.py."""
+    if text is None:
+        return ""
+    stripped = text.strip()
+    if not stripped:
+        return ""
+    if stripped[0] == "{" and stripped[-1] == "}":
+        try:
+            obj = json.loads(stripped)
+        except (ValueError, RecursionError):
+            obj = None
+        if isinstance(obj, dict):
+            for key in ("text", "output", "content", "result"):
+                val = obj.get(key)
+                if isinstance(val, str):
+                    return val
+            return json.dumps(obj, sort_keys=True, separators=(",", ":"))
+    if "<" in text and _HTML_TAG_RE.search(text):
+        return _parse_html(text)
+    return text
 
 
 # tag-strip regex for the joined fast path: identical to _ANY_TAG_RE within
@@ -138,8 +170,11 @@ def _parse_html(text: str) -> str:
         return _parse_html_blocks(_BLOCK_SPLIT_RE.split(text))
     joined = "\x00".join(_BLOCK_SPLIT_RE.split(text))
     joined = _ANY_TAG_JOINED_RE.sub("", joined)
-    for ent, ch in _HTML_ENTITIES:
-        joined = joined.replace(ent, ch)
+    # '&' memchr gate: entity-free payloads (the common case) skip all six
+    # replace passes (measured 50ms -> 2ms over the bench html corpus)
+    if "&" in joined:
+        for ent, ch in _HTML_ENTITIES:
+            joined = joined.replace(ent, ch)
     joined = _WS_RUN_RE.sub(" ", joined)
     out: list[str] = []
     for b in joined.split("\x00"):
@@ -359,6 +394,156 @@ def prev_end(pos: int, block_text: str) -> int:
     while e > 0 and block_text[e - 1] in " \t":
         e -= 1
     return e
+
+
+def detect_all_spans(
+    norm_text: str,
+    cfg: ExtractConfig = DEFAULT_CONFIG,
+) -> list[tuple[int, int, int, str, int, int, int]]:
+    """segment + detect + line_bounds over the WHOLE turn in one pass.
+
+    Returns ``[(block_idx, g_start, g_end, kind, conf_milli, line_start,
+    line_end)]`` in (block, position) order, byte-equal by construction to
+    the staged reference composition
+
+        for idx, bs, be in segment_offsets(len(norm_text), cfg):
+            for s, e, kind, conf in detect_spans(norm_text, bs, be, cfg):
+                (idx, bs + s, bs + e, kind, conf,
+                 *line_bounds(norm_text, bs + s, bs + e))
+
+    (property-pinned by tests/test_fuzz_spec.py).  This is the HOT path the
+    distributed kernels call; the staged functions above stay as the
+    executable spec.  What it saves (guide section 1.2 step 2, per-task
+    work):
+      * ONE newline index per turn feeds both the per-block line split and
+        every candidate's line bounds -- the staged ``line_bounds`` does an
+        O(n) rfind/find per candidate, which is quadratic on long
+        single-line payloads (a 200 KB mega-turn canvas has ~870 blocks,
+        each paying a ~100 KB scan);
+      * the per-line feature math is inlined (no per-line function call,
+        tuple pack/unpack, or closure state);
+      * no per-block ``norm_text[b_start:b_end]`` slice + re-split -- each
+        line fragment is sliced exactly once.
+    """
+    n = len(norm_text)
+    if n <= 0:
+        return []
+    size, step = cfg.block_size, cfg.step
+    min_alnum = DEFAULT_CONFIG.min_alnum_density_milli
+    max_sep = DEFAULT_CONFIG.max_sep_density_milli
+    # newline index (positions of every '\n'), built with C-level find
+    nls: list[int] = []
+    find = norm_text.find
+    i = find("\n")
+    while i != -1:
+        nls.append(i)
+        i = find("\n", i + 1)
+    n_nls = len(nls)
+
+    out: list[tuple[int, int, int, str, int, int, int]] = []
+    idx = 0
+    b_start = 0
+    while True:
+        if n <= size:
+            b_start, b_end = 0, n
+            last_block = True
+        elif b_start + size >= n:
+            b_start, b_end = n - size, n
+            last_block = True
+        else:
+            b_end = b_start + size
+            last_block = False
+
+        # line fragments of this block: newlines with position in
+        # [b_start, b_end) act exactly like block_text.split('\n')
+        lo = bisect_left(nls, b_start)
+        hi = bisect_left(nls, b_end, lo)
+        spans: list[tuple[int, int, str, int]] = []  # (g_start, g_end, kind, conf)
+        run_start = -1
+        run_alnum = run_len = code_len = 0
+        a = b_start
+        j = lo
+        while True:
+            b = nls[j] if j < hi else b_end
+            line = norm_text[a:b]
+            stripped = line.strip()
+            ln = len(stripped)
+            if ln == 0:
+                boiler = True
+                is_code = False
+            else:
+                is_code = line.startswith(("    ", "\t", "```"))
+                if stripped.isascii():
+                    sb = stripped.encode()
+                    alnum = len(sb.translate(None, _DEL_NON_ALNUMSP))
+                    if is_code:
+                        boiler = False
+                    else:
+                        boiler = (
+                            (1000 * alnum) // ln < min_alnum
+                            or "http://" in stripped or "https://" in stripped
+                            or stripped.count("|") >= 2
+                            # '©'/'·' probes dropped: impossible in ASCII
+                            or (1000 * (ln - len(sb.translate(None, _SEP_BYTES)))) // ln
+                               > max_sep
+                        )
+                else:
+                    alnum = len(_NON_ALNUMSP_RE.sub("", stripped))
+                    if is_code:
+                        boiler = False
+                    else:
+                        boiler = (
+                            (1000 * alnum) // ln < min_alnum
+                            or "http://" in stripped or "https://" in stripped
+                            or stripped.count("|") >= 2
+                            or stripped.count("·") >= 2
+                            or "©" in stripped
+                            or (1000 * len(_SEP_RE.findall(stripped))) // ln > max_sep
+                        )
+            if boiler:
+                if run_start >= 0:
+                    # flush at prev_end: strip ' \t' back from the previous
+                    # newline (a-1), never crossing the block start
+                    e = a - 1 if a > b_start else b_start
+                    while e > b_start and norm_text[e - 1] in " \t":
+                        e -= 1
+                    if e > run_start:
+                        kind = KIND_CODE if 2 * code_len > run_len else KIND_CONTENT
+                        conf = (1000 * run_alnum) // run_len if run_len > 0 else 0
+                        spans.append((run_start, e, kind, conf))
+                    run_start = -1
+                    run_alnum = run_len = code_len = 0
+            else:
+                if run_start < 0:
+                    run_start = a + (len(line) - len(line.lstrip()))
+                run_len += ln
+                run_alnum += alnum
+                if is_code:
+                    code_len += ln
+            if j >= hi:
+                break
+            a = nls[j] + 1
+            j += 1
+        if run_start >= 0:
+            # close the final run at the last non-whitespace char of the
+            # block == end of the (content) last line rstripped
+            e = a + len(line.rstrip())
+            if e > run_start:
+                kind = KIND_CODE if 2 * code_len > run_len else KIND_CONTENT
+                conf = (1000 * run_alnum) // run_len if run_len > 0 else 0
+                spans.append((run_start, e, kind, conf))
+
+        for g_start, g_end, kind, conf in spans:
+            k = bisect_left(nls, g_start)
+            ls = nls[k - 1] + 1 if k > 0 else 0
+            k = bisect_left(nls, g_end, k)
+            le = nls[k] if k < n_nls else n
+            out.append((idx, g_start, g_end, kind, conf, ls, le))
+
+        if last_block:
+            return out
+        idx += 1
+        b_start += step
 
 
 # ---------------------------------------------------------------------------

@@ -123,3 +123,27 @@ def test_oracle_output_invariants(text):
         assert r["method"] in ("primary", "fallback")
         assert 0.0 <= r["confidence"] <= 1.0
         assert r["provenance"]
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_parse_canvas_matches_parse_payload(text):
+    """The hot-path canvas parse (no payload-kind classification) must
+    return exactly parse_payload's norm_text."""
+    assert spec.parse_canvas(text) == spec.parse_payload(text, None, None)[0]
+
+
+@given(text_strategy, st.sampled_from([(256, 0.1), (64, 0.5), (100, 0.25)]))
+@settings(max_examples=250, deadline=None)
+def test_detect_all_spans_matches_staged_composition(text, block):
+    """The one-pass segment+detect+line_bounds kernel must be byte-equal to
+    the staged reference composition, for several segmentation configs."""
+    from p_id_text_extraction_spark.config import ExtractConfig
+    cfg = ExtractConfig(block_size=block[0], overlap=block[1])
+    norm = spec.parse_canvas(text)
+    staged = [
+        (idx, bs + s, bs + e, kind, conf, *spec.line_bounds(norm, bs + s, bs + e))
+        for idx, bs, be in spec.segment_offsets(len(norm), cfg)
+        for s, e, kind, conf in spec.detect_spans(norm, bs, be, cfg)
+    ]
+    assert spec.detect_all_spans(norm, cfg) == staged
