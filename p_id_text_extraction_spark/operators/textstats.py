@@ -32,15 +32,26 @@ def n_tokens_col() -> F.Column:
             .otherwise(F.size(F.split(trimmed, " +"))))
 
 
+_ALPHA_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_DIGIT_CHARS = "0123456789"
+
+
+def _count_of(chars: str) -> F.Column:
+    """Count of ``chars`` occurrences in `text` as length minus the length
+    after translate-deleting them -- a single char-map pass instead of a
+    regex scan (translate(text, chars, '') deletes exactly that set, so
+    n - len(result) == len(regexp_replace(text, '[^chars]', '')) for any
+    input including non-ASCII; the regexp twin counts the same chars)."""
+    return F.length("text") - F.length(F.translate("text", chars, ""))
+
+
 def quality_milli_col() -> F.Column:
     """THE quality score (alpha density minus half the digit density, in
     milli-units; never fork -- corpus_clean's gate and corpus_stats'
     dashboard must agree)."""
     n = F.length("text")
-    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
-    return (F.floor(F.lit(1000) * alpha / n).cast("int")
-            - F.floor(F.lit(500) * digit / n).cast("int"))
+    return (F.floor(F.lit(1000) * _count_of(_ALPHA_CHARS) / n).cast("int")
+            - F.floor(F.lit(500) * _count_of(_DIGIT_CHARS) / n).cast("int"))
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -67,9 +78,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
     as oracle/spec.line_features).
     """
     n = F.length("text")
-    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
-    space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    alpha = _count_of(_ALPHA_CHARS)
+    digit = _count_of(_DIGIT_CHARS)
+    space = _count_of(" ")
     return docs.select(
         "doc_id",
         n.alias("n_chars_actual"),

@@ -712,11 +712,19 @@ def q_provenance_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted provenance set union (A3/W3/U2): per order, the distinct
     supplier set as a sorted CSV (array_sort(collect_set) analogue)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_orderkey").agg(
-        F.array_join(
-            F.array_sort(F.collect_set(F.lpad(F.col("l_suppkey").cast("string"), 6, "0"))), ","
-        ).alias("suppliers_csv"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    # ONE aggregation pass: count distinct as the size of the raw-key set
+    # (exactly count(distinct l_suppkey)).  The countDistinct formulation
+    # planned a second exchange keyed (l_orderkey, l_suppkey) before the
+    # real one -- two shuffles of every lineitem row for a per-order set
+    # that collect_set already materializes.
+    agged = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set(F.lpad(F.col("l_suppkey").cast("string"), 6, "0"))).alias("_set"),
+        F.size(F.collect_set("l_suppkey")).cast("long").alias("n_suppliers"),
+    )
+    return agged.select(
+        "l_orderkey",
+        F.array_join("_set", ",").alias("suppliers_csv"),
+        "n_suppliers",
     )
 
 
