@@ -118,6 +118,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_milli: int = 10
         .filter(F.col("df") <= max_posting)
         .drop("df")
     )
+    # persist the CAPPED postings: they feed both self-join sides, and when
+    # AQE picks a broadcast for the build side there is no exchange reuse
+    # across a BroadcastExchange -- without the cache the explode + hash +
+    # window-cap subtree executes twice (measured in the sf0.1 plan: the
+    # whole Generate/Exchange/Sort/Window chain appeared once per side)
+    capped = track_persist(capped)
     a = capped.alias("a")
     b = capped.alias("b")
     common = (
@@ -233,7 +239,10 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     # pair); the exact Jaccard is unchanged because md5_hash60 collisions
     # merge identically in the DuckDB twin.
     hg = track_persist(hashed_gram_arrays(docs, n))
-    sig = minhash_signatures(docs, n, num_hashes, seed, hashed=hg)
+    # persist the signatures too: both banded self-join sides project the
+    # 32 array_min permutation folds from hg, and a broadcast build side
+    # re-evaluates its whole subtree -- the cache makes the fold run once
+    sig = track_persist(minhash_signatures(docs, n, num_hashes, seed, hashed=hg))
     banded = sig.select(
         "doc_id", "sig",
         F.posexplode(

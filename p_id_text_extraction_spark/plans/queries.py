@@ -47,6 +47,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+import os as _os
+
+# below this input size the round-robin exchange costs more than the
+# serialized scan stage it parallelizes (measured at sf0.1: extract_fused
+# 0.31s -> 0.50s with an unconditional fan-out; at sf1's 6 MB documents
+# file the same fan-out wins 2-4x) -- parameterised like every other
+# scale-dependent knob
+_FAN_OUT_MIN_BYTES = int(_os.environ.get("SPARK_GRAFT_FANOUT_MIN_BYTES",
+                                         str(3 * 1024 * 1024)))
+
+
+def _fan_out(df: DataFrame, sf_dir: str, name: str = "documents") -> DataFrame:
+    """Decouple per-row compute from the input's file/row-group layout.
+
+    The driver corpora are ONE single-row-group parquet file per table, so
+    without this every pre-exchange stage -- regex projections, Python
+    kernels, partial aggregates -- runs in a single task while the other
+    cores idle (guide section 2.5, unsplittable input).  The round-robin
+    repartition shuffles only the slim pruned columns; SIZE-GATED so tiny
+    inputs (where the exchange dominates) keep the exchange-free plan, and
+    used only on wrappers whose per-row compute is heavy (the doc_winnow
+    r5 pattern).  A 100 TB table arrives in thousands of splits, reads as
+    a directory (size gate skips it), and does not need this."""
+    try:
+        size = _os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        size = 0
+    if size < _FAN_OUT_MIN_BYTES:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # extraction pipeline (documents-derived)
 # ---------------------------------------------------------------------------
@@ -55,7 +87,7 @@ def q_extract_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the full extraction pipeline (pandas-UDF detect kernel) over
     transcripts derived from the documents table.  Rows-only driver check;
     byte-equality is covered by tests/test_pipeline_golden.py."""
-    turns = derive_transcripts_from_documents(spark, sf_dir)
+    turns = _fan_out(derive_transcripts_from_documents(spark, sf_dir), sf_dir)
     return extract_pipeline(turns).withColumn("provenance", F.array_join("provenance", ","))
 
 
@@ -64,7 +96,7 @@ def q_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived transcripts.  Rows-only driver check; byte-equality vs the
     oracle AND vs the relational strategy is pinned by
     tests/test_pipeline_golden.py."""
-    turns = derive_transcripts_from_documents(spark, sf_dir)
+    turns = _fan_out(derive_transcripts_from_documents(spark, sf_dir), sf_dir)
     return extract_pipeline_fused(turns).withColumn("provenance", F.array_join("provenance", ","))
 
 
@@ -644,7 +676,7 @@ def q_corpus_pack(spark: SparkSession, sf_dir: str, budget: int = 4096) -> DataF
     LLM training shards).  pack_id = exclusive-cumsum // budget -- one
     window per language partition, deterministic, and the bin assignment
     is pure integer arithmetic both engines reproduce exactly."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(_t(spark, sf_dir, "documents"), sf_dir)
     base = (docs.filter(F.length("text") > 0)
             .select("doc_id", textstats.pred_lang_col().alias("pred_lang"),
                     textstats.n_tokens_col().alias("n_tokens")))
@@ -818,7 +850,7 @@ _INTERVAL_CLUSTERS_SQL = f"""
 # ---------------------------------------------------------------------------
 
 def q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.token_count(_t(spark, sf_dir, "documents"))
+    return textstats.token_count(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
 
 
 _TOKEN_COUNT_SQL = """
@@ -832,7 +864,7 @@ _TOKEN_COUNT_SQL = """
 
 
 def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.quality_score(_t(spark, sf_dir, "documents"))
+    return textstats.quality_score(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
 
 
 _QUALITY_SQL = """
@@ -847,7 +879,7 @@ _QUALITY_SQL = """
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.lang_id(_t(spark, sf_dir, "documents"))
+    return textstats.lang_id(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
 
 
 _LANG_ID_SQL = r"""
@@ -862,7 +894,7 @@ _LANG_ID_SQL = r"""
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textstats.fingerprint(_t(spark, sf_dir, "documents"))
+    return textstats.fingerprint(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
 
 
 _FINGERPRINT_SQL = """
@@ -875,7 +907,7 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) document counts, token totals, and floored mean quality --
     the distribution dashboard a curation run reports (A7 analogue on the
     documents domain).  Integer-only aggregates."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(_t(spark, sf_dir, "documents"), sf_dir)
     base = (docs.filter(F.length("text") > 0)
             .select(
                 textstats.pred_lang_col().alias("pred_lang"),
@@ -919,7 +951,7 @@ def q_corpus_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality is tiny (languages), so the per-group sorted list is
     bounded; a 100 TB run wanting sub-percent error at huge groups would
     swap in approx_percentile and lose the oracle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(_t(spark, sf_dir, "documents"), sf_dir)
     base = (docs.filter(F.length("text") > 0)
             .select(textstats.pred_lang_col().alias("pred_lang"),
                     textstats.n_tokens_col().alias("n_tokens")))
@@ -963,7 +995,7 @@ _TOKEN_QUANTILES_SQL = r"""
 
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-safe train/val split (content-hash bucketed)."""
-    return textstats.corpus_split(_t(spark, sf_dir, "documents"))
+    return textstats.corpus_split(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
 
 
 _CORPUS_SPLIT_SQL = """
@@ -980,7 +1012,7 @@ _CORPUS_SPLIT_SQL = """
 
 def q_doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: per-doc match counts + md5 of the redacted text."""
-    return textstats.redact_pii(_t(spark, sf_dir, "documents"))
+    return textstats.redact_pii(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
 
 
 def _redact_pii_sql() -> str:
@@ -1007,7 +1039,7 @@ _REDACT_PII_SQL = _redact_pii_sql()
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc line-duplication ratio (degenerate-generation gate)."""
-    return textstats.repetition_score(_t(spark, sf_dir, "documents"))
+    return textstats.repetition_score(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
 
 
 _REPETITION_SQL = """
@@ -1072,7 +1104,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pass: exact-dedup to canonical docs, then
     quality / token-count / language gates -- the composition a training
     corpus actually runs, all codegen + one fingerprint hash-agg."""
-    return textstats.corpus_clean(_t(spark, sf_dir, "documents"))
+    return textstats.corpus_clean(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
 
 
 _CORPUS_CLEAN_SQL = """
@@ -1200,7 +1232,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes auto-sizes from the corpus count (3 at sf0.01, matching the
     static driver oracle; 8 at sf1 -- a fixed 3 planes put 2.5k vectors
     per bucket there and the candidate join spilled the disk to death)."""
-    return dedup.embedding_cosine_dups(_t(spark, sf_dir, "embeddings"), min_cos_milli=300)
+    return dedup.embedding_cosine_dups(
+        _fan_out(_t(spark, sf_dir, "embeddings"), sf_dir, "embeddings"), min_cos_milli=300)
 
 
 def emb_cos_dup_sql_for(sf_dir: str) -> str:
@@ -1251,7 +1284,8 @@ _EMB_COS_DUP_SQL = _emb_cos_dup_sql()
 
 
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"))
+    return similarity.brute_force_topk(
+        _fan_out(_t(spark, sf_dir, "embeddings"), sf_dir, "embeddings"))
 
 
 _SIM_TOPK_SQL = """
@@ -1491,7 +1525,8 @@ _SIMHASH_SQL = _simhash_sql()
 
 
 def q_sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_ann_topk(_t(spark, sf_dir, "embeddings"))
+    return similarity.lsh_ann_topk(
+        _fan_out(_t(spark, sf_dir, "embeddings"), sf_dir, "embeddings"))
 
 
 def _ann_bucket_union_sql(n_queries: int = 10, n_planes: int = 8, n_tables: int = 4,
@@ -1551,7 +1586,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check records it every round (VERDICT r1 item 7); the
     exhaustive side is O(n*q), so this query is a small-sample audit, not a
     production path."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(_t(spark, sf_dir, "embeddings"), sf_dir, "embeddings")
     k = 5
     # per-query neighbor SETS on each side: the collect_set aggregates
     # reuse each subtree's existing HashPartitioning(query_id), and the
@@ -1576,7 +1611,8 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+    return similarity.ivf_topk(
+        _fan_out(_t(spark, sf_dir, "embeddings"), sf_dir, "embeddings"))
 
 
 _SIM_IVF_SQL = """
@@ -1730,7 +1766,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte) so the output is a flat hashable CSV the driver can value-check
     against a DuckDB twin -- the recognize-stage 'records are always
     checkable' rule (text_recognition.py:175-189)."""
-    media = _media_from_docs(_t(spark, sf_dir, "documents"))
+    media = _media_from_docs(_fan_out(_t(spark, sf_dir, "documents"), sf_dir))
     feats = multimodal.extract_features(media, fake=True)
     byte_of = lambda x: F.round(x.cast("double") * 127.5 + 127.5).cast("int").cast("string")  # noqa: E731
     return feats.select(
