@@ -70,13 +70,29 @@ def _fan_out(df: DataFrame, sf_dir: str, name: str = "documents") -> DataFrame:
     used only on wrappers whose per-row compute is heavy (the doc_winnow
     r5 pattern).  A 100 TB table arrives in thousands of splits, reads as
     a directory (size gate skips it), and does not need this."""
+    path = f"{sf_dir}/{name}.parquet"
     try:
-        size = _os.path.getsize(f"{sf_dir}/{name}.parquet")
+        size = _os.path.getsize(path)
     except OSError:
         size = 0
     if size < _FAN_OUT_MIN_BYTES:
         return df
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # a scan that already fans out (enough row groups AND split-sized
+    # chunks) must NOT pay an extra full-table exchange on top
+    try:
+        import pyarrow.parquet as _pq
+        rgs = _pq.ParquetFile(path).num_row_groups
+    except Exception:  # noqa: BLE001 - directory table/odd layout: assume split
+        return df
+    raw = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728").lower().rstrip("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1:], 1)
+    max_split = int(raw.rstrip("kmg") or "134217728") * mult
+    scan_tasks = min(rgs, max(1, size // max(max_split, 1)))
+    if scan_tasks * 2 >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 # ---------------------------------------------------------------------------
