@@ -227,6 +227,9 @@ def winnow_fingerprints_kernel(docs: DataFrame, k: int = 8, w: int = 16,
     if parallelism:
         pruned = pruned.repartition(parallelism)
 
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, csvs, counts = [], [], []
@@ -244,7 +247,7 @@ def winnow_fingerprints_kernel(docs: DataFrame, k: int = 8, w: int = 16,
                     # relational substr path on multi-byte text
                     gram_bytes = (t[i:i + k].encode("utf-8") for i in range(n_g))
                 hs = np.fromiter(
-                    (int.from_bytes(hashlib.md5(g).digest()[:8], "big") >> 4
+                    (from_bytes(md5(g).digest()[:8], "big") >> 4
                      for g in gram_bytes),
                     dtype=np.uint64, count=n_g)
                 mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
