@@ -45,6 +45,13 @@ _ANY_TAG_RE = re.compile(r"<[^>]+>")
 _DROP_ELEMENT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
 _HTML_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
+# multi-space-only collapse for the gated fast path: when the text contains
+# none of \t\r\f\v, _WS_RUN_RE can only rewrite runs of 2+ spaces -- and
+# this pattern's literal "  " prefix lets the scanner skip single-space
+# prose at memchr speed (measured 472 -> 58 ms over the bench html corpus;
+# the r6 "top-level-alternation fast ws regex" negative result does NOT
+# apply: no alternation here, the gate is 4 plain `in` probes)
+_MULTISPACE_RE = re.compile(r"  +")
 _URL_RE = re.compile(r"https?://")
 _MD_MARKER_RE = re.compile(r"(?m)^(?:#{1,6} |- |\* |\d+\. |```)")
 
@@ -175,7 +182,10 @@ def _parse_html(text: str) -> str:
     if "&" in joined:
         for ent, ch in _HTML_ENTITIES:
             joined = joined.replace(ent, ch)
-    joined = _WS_RUN_RE.sub(" ", joined)
+    if "\t" in joined or "\r" in joined or "\f" in joined or "\v" in joined:
+        joined = _WS_RUN_RE.sub(" ", joined)
+    else:
+        joined = _MULTISPACE_RE.sub(" ", joined)
     out: list[str] = []
     for b in joined.split("\x00"):
         b = b.strip()
@@ -415,11 +425,12 @@ def detect_all_spans(
     distributed kernels call; the staged functions above stay as the
     executable spec.  What it saves (guide section 1.2 step 2, per-task
     work):
-      * ONE newline index per turn feeds both the per-block line split and
-        every candidate's line bounds -- the staged ``line_bounds`` does an
-        O(n) rfind/find per candidate, which is quadratic on long
-        single-line payloads (a 200 KB mega-turn canvas has ~870 blocks,
-        each paying a ~100 KB scan);
+      * ONE newline index per turn feeds the per-block line split, and
+        every candidate's line bounds fall out of the line loop's own
+        state (the run's first line start; the flush newline) -- the
+        staged ``line_bounds`` does an O(n) rfind/find per candidate,
+        which is quadratic on long single-line payloads (a 200 KB
+        mega-turn canvas has ~870 blocks, each paying a ~100 KB scan);
       * the per-line feature math is inlined (no per-line function call,
         tuple pack/unpack, or closure state);
       * no per-block ``norm_text[b_start:b_end]`` slice + re-split -- each
@@ -458,8 +469,8 @@ def detect_all_spans(
         # [b_start, b_end) act exactly like block_text.split('\n')
         lo = bisect_left(nls, b_start)
         hi = bisect_left(nls, b_end, lo)
-        spans: list[tuple[int, int, str, int]] = []  # (g_start, g_end, kind, conf)
         run_start = -1
+        run_ls = 0                 # turn-global line start of the run's first line
         run_alnum = run_len = code_len = 0
         a = b_start
         j = lo
@@ -478,14 +489,21 @@ def detect_all_spans(
                     alnum = len(sb.translate(None, _DEL_NON_ALNUMSP))
                     if is_code:
                         boiler = False
+                    elif (1000 * alnum) // ln < min_alnum:
+                        boiler = True
                     else:
+                        # same disjunction, reordered so a clean prose line
+                        # pays one translate + one 'http' probe instead of
+                        # four scans: >=2 pipes implies sep_count >= 2
+                        # ('|' is a separator byte), and 'http://' implies
+                        # 'http' -- pure predicates, identical value.
+                        # '©'/'·' probes dropped: impossible in ASCII.
+                        sep_count = ln - len(sb.translate(None, _SEP_BYTES))
                         boiler = (
-                            (1000 * alnum) // ln < min_alnum
-                            or "http://" in stripped or "https://" in stripped
-                            or stripped.count("|") >= 2
-                            # '©'/'·' probes dropped: impossible in ASCII
-                            or (1000 * (ln - len(sb.translate(None, _SEP_BYTES)))) // ln
-                               > max_sep
+                            (1000 * sep_count) // ln > max_sep
+                            or (sep_count >= 2 and stripped.count("|") >= 2)
+                            or ("http" in stripped
+                                and ("http://" in stripped or "https://" in stripped))
                         )
                 else:
                     alnum = len(_NON_ALNUMSP_RE.sub("", stripped))
@@ -503,19 +521,28 @@ def detect_all_spans(
             if boiler:
                 if run_start >= 0:
                     # flush at prev_end: strip ' \t' back from the previous
-                    # newline (a-1), never crossing the block start
+                    # newline (a-1), never crossing the block start.  A run
+                    # implies a prior content line, so a > b_start and a-1
+                    # IS that previous newline -- which is also the span's
+                    # line_end (first newline at/after the flush position:
+                    # the back-strip never crosses a newline).
                     e = a - 1 if a > b_start else b_start
                     while e > b_start and norm_text[e - 1] in " \t":
                         e -= 1
                     if e > run_start:
                         kind = KIND_CODE if 2 * code_len > run_len else KIND_CONTENT
                         conf = (1000 * run_alnum) // run_len if run_len > 0 else 0
-                        spans.append((run_start, e, kind, conf))
+                        out.append((idx, run_start, e, kind, conf, run_ls, a - 1))
                     run_start = -1
                     run_alnum = run_len = code_len = 0
             else:
                 if run_start < 0:
                     run_start = a + (len(line) - len(line.lstrip()))
+                    # turn-global line start: a itself when a is a true
+                    # line start (j > lo); the first fragment of a block
+                    # may begin mid-line, whose line started before
+                    # b_start (previous newline + 1, turn-global)
+                    run_ls = a if j > lo else (nls[lo - 1] + 1 if lo > 0 else 0)
                 run_len += ln
                 run_alnum += alnum
                 if is_code:
@@ -526,19 +553,15 @@ def detect_all_spans(
             j += 1
         if run_start >= 0:
             # close the final run at the last non-whitespace char of the
-            # block == end of the (content) last line rstripped
+            # block == end of the (content) last line rstripped; the last
+            # fragment [a, b_end) holds no newline, so the span's line_end
+            # is the first newline at/after b_end (nls[hi]) or n
             e = a + len(line.rstrip())
             if e > run_start:
                 kind = KIND_CODE if 2 * code_len > run_len else KIND_CONTENT
                 conf = (1000 * run_alnum) // run_len if run_len > 0 else 0
-                spans.append((run_start, e, kind, conf))
-
-        for g_start, g_end, kind, conf in spans:
-            k = bisect_left(nls, g_start)
-            ls = nls[k - 1] + 1 if k > 0 else 0
-            k = bisect_left(nls, g_end, k)
-            le = nls[k] if k < n_nls else n
-            out.append((idx, g_start, g_end, kind, conf, ls, le))
+                out.append((idx, run_start, e, kind, conf, run_ls,
+                            nls[hi] if hi < n_nls else n))
 
         if last_block:
             return out
