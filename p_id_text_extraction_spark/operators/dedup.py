@@ -215,6 +215,77 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     return hh.select("doc_id", sig.alias("sig"))
 
 
+MINHASH_SKETCH_SCHEMA = "doc_id bigint, hg array<bigint>, sig array<bigint>"
+
+
+def minhash_sketches_kernel(docs: DataFrame, n: int = 3, num_hashes: int = 32,
+                            seed: int = 11) -> DataFrame:
+    """(doc_id, hg, sig) in ONE zero-shuffle Arrow kernel -- the fast path
+    behind minhash_lsh_pairs.
+
+    The relational decomposition (gram_arrays -> hashed_gram_arrays ->
+    minhash_signatures) is the executable spec and stays untouched, but
+    Catalyst interprets every higher-order ``transform`` lambda per
+    element: the shingle concat, the md5 fold, and the 32 permutation
+    folds cost ~2e9 interpreted lambda evaluations at sf1 -- the same
+    shape the winnow kernel already replaced (per-doc array work belongs
+    in an Arrow kernel once the per-element lambda count passes ~1e8).
+    Here: normalization stays JVM-side (same ``_norm_text`` projection),
+    tokenize/gram/md5 run per doc in C (`_md5` constructor + one strided
+    numpy digest view == md5_hash60 by the first-15-hex == top-60-bits
+    identity), and all ``num_hashes`` permutations fold as two vectorized
+    numpy ops.  Value-equal by construction, property-pinned against the
+    staged composition (tests/test_training_ops.py):
+      * hg = the distinct hashed shingle set (np.unique sorts it;
+        array_distinct keeps first occurrence -- every consumer is
+        order-free: size, array_intersect size, min folds);
+      * sig[i] = min over hg%%P of (a_i*h + b_i)%%P, exact in uint64
+        (a_i, h < 2^30 so products stay < 2^60).
+    Docs with no full shingle emit no row, matching the relational
+    ``size(hhs) > 0`` filter."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    try:
+        from _md5 import md5
+    except ImportError:                       # pragma: no cover
+        from hashlib import md5
+
+    coeffs = minhash_coeffs(num_hashes, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.uint64).reshape(-1, 1)
+    B = np.array([b for _, b in coeffs], dtype=np.uint64).reshape(-1, 1)
+    P = np.uint64(MINHASH_P)
+    FOUR = np.uint64(4)
+    pruned = _spread(docs).select("doc_id", _norm_text().alias("t"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hgs, sigs = [], [], []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
+                toks = t.split(" ")
+                m = len(toks) - (n - 1)
+                if m <= 0:
+                    continue
+                # distinct gram STRINGS first (mirrors gram_arrays'
+                # array_distinct), then hash, then distinct again
+                # (mirrors hashed_gram_arrays')
+                grams = {" ".join(toks[i:i + n]) for i in range(m)}
+                digests = [md5(g.encode("utf-8")).digest() for g in grams]
+                hg = np.unique(
+                    np.frombuffer(b"".join(digests), dtype=">u8")[::2]
+                    .astype(np.uint64) >> FOUR)
+                sig = ((A * (hg % P) + B) % P).min(axis=1)
+                ids.append(doc_id)
+                hgs.append(hg.astype(np.int64).tolist())
+                sigs.append(sig.astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "hg": pd.Series(hgs, dtype="object"),
+                                "sig": pd.Series(sigs, dtype="object")})
+
+    return pruned.mapInPandas(kernel, MINHASH_SKETCH_SCHEMA)
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
                       bands: int = 8, seed: int = 11,
                       min_jaccard_milli: int = 100) -> DataFrame:
@@ -230,19 +301,18 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, num_hashes: int = 32,
     value filtered at ``min_jaccard_milli``.
     """
     rows_per_band = num_hashes // bands
-    # persist the HASHED shingle sets: they feed the signature aggregation
-    # AND both sides of the exact-verify join -- threaded through
-    # explicitly, never relying on the cache manager's plan matching to
-    # dedupe an identical-looking subtree.  Verifying over the 8-byte
-    # hashes instead of raw shingle strings cuts the candidate join's
-    # shuffle weight ~10x (the r2 plan shipped both full string arrays per
-    # pair); the exact Jaccard is unchanged because md5_hash60 collisions
-    # merge identically in the DuckDB twin.
-    hg = track_persist(hashed_gram_arrays(docs, n))
-    # persist the signatures too: both banded self-join sides project the
-    # 32 array_min permutation folds from hg, and a broadcast build side
-    # re-evaluates its whole subtree -- the cache makes the fold run once
-    sig = track_persist(minhash_signatures(docs, n, num_hashes, seed, hashed=hg))
+    # ONE persisted kernel pass supplies both the hashed shingle sets (the
+    # exact-verify join's input -- 8-byte hashes, not raw strings, ~10x
+    # lighter on the candidate shuffle; md5_hash60 collisions merge
+    # identically in the DuckDB twin) and the signatures (both banded
+    # self-join sides project from it, and a broadcast build side
+    # re-evaluates its subtree -- the persist makes the kernel run once).
+    # minhash_sketches_kernel == the staged relational composition,
+    # property-pinned; the r6 kernel move replaced ~2e9 interpreted
+    # Catalyst lambda evaluations at sf1 with C loops.
+    sketches = track_persist(minhash_sketches_kernel(docs, n, num_hashes, seed))
+    hg = sketches.select("doc_id", "hg")
+    sig = sketches.select("doc_id", "sig")
     banded = sig.select(
         "doc_id", "sig",
         F.posexplode(

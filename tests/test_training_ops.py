@@ -189,6 +189,38 @@ def test_minhash_identical_signatures(spark, docs_df):
     assert same >= 16  # >=50% of 32 hashes
 
 
+def test_minhash_sketches_kernel_equals_relational(spark):
+    """The Arrow kernel behind minhash_lsh_pairs must value-match the
+    staged relational composition (gram_arrays -> hashed_gram_arrays ->
+    minhash_signatures): sig exactly (position = coefficient), hg as a
+    SET (array_distinct keeps first occurrence, np.unique sorts; every
+    consumer is order-free).  Corpus includes unicode, tabs/newlines that
+    survive _norm_text, repeated grams, and docs too short for any full
+    shingle (which must emit NO row on both paths)."""
+    rows = [
+        (0, "the quick brown fox jumps over the quick brown fox again"),
+        (1, "  Mixed   CASE   and   collapsed    spaces   here  "),
+        (2, "unicode tokensé café naïve 日本語 text okay"),
+        (3, "tabs\tstay\tglued and\nnewlines too plus more words"),
+        (4, "one two"),              # < n tokens -> no shingle -> no row
+        (5, ""),                     # empty -> no row
+        (6, "x y z"),                # exactly one shingle
+        (7, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hg_rel = {r.doc_id: sorted(r.hg) for r in dedup.hashed_gram_arrays(df).collect()
+              if r.hg}
+    sig_rel = {r.doc_id: r.sig for r in dedup.minhash_signatures(df).collect()}
+    out = dedup.minhash_sketches_kernel(df).collect()
+    assert {r.doc_id for r in out} == set(sig_rel)
+    for r in out:
+        assert sorted(r.hg) == hg_rel[r.doc_id], r.doc_id
+        assert r.sig == sig_rel[r.doc_id], r.doc_id
+    # map-only plan: no exchange beyond the deliberate _spread repartition
+    plan = dedup.minhash_sketches_kernel(df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
 def test_minhash_lsh_candidates(spark, docs_df):
     pairs = {(r.doc_a, r.doc_b): r.est_jaccard_milli for r in dedup.minhash_lsh_pairs(docs_df).collect()}
     assert pairs.get((0, 1)) == 1000      # exact dup always collides
