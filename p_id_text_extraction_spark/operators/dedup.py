@@ -100,17 +100,21 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_jaccard_milli: int = 10
         partitioned by the shingle -- ReuseExchange makes the join
         co-partitioned, no further shuffle before the pair aggregate.
     """
-    # PERSIST the gram arrays: the subtree feeds three consumers (sizes +
-    # the shingle explode) and -- measured -- Spark re-evaluates an inlined
-    # higher-order generator child per OUTPUT element (9s vs 0.2s for this
-    # explode at sf0.1).  Materializing the shingle intermediate is also
-    # what a production multi-pass dedup does.
-    grams = track_persist(gram_arrays(docs, n))
-    sh = (grams.select("doc_id", F.explode("grams").alias("shingle"))
-          .select("doc_id", md5_hash60(F.col("shingle")).alias("sh")))
+    # PERSIST the hashed gram multisets: the subtree feeds two consumers
+    # (sizes + the shingle explode); materializing the shingle intermediate
+    # is also what a production multi-pass dedup does.  r6: the grams are
+    # minted by hashed_grams_kernel (one zero-shuffle Arrow pass; same
+    # multiset as md5_hash60(explode(gram_arrays)) by construction)
+    # instead of the interpreted Catalyst transform/md5/conv chain --
+    # Spark also re-evaluates an inlined higher-order generator child per
+    # OUTPUT element (9s vs 0.2s for this explode at sf0.1, the r1
+    # lesson), so the persist stays load-bearing either way.
+    hsets = track_persist(hashed_grams_kernel(docs, n))
+    sh = hsets.select("doc_id", F.explode("hs").alias("sh"))
     # set sizes from the pre-explode arrays: no second explode+groupBy
-    # over every shingle row
-    sizes = grams.select("doc_id", F.size("grams").alias("set_size")).filter(F.col("set_size") > 0)
+    # over every shingle row (kernel rows always hold >= 1 shingle,
+    # matching the relational set_size > 0 filter)
+    sizes = hsets.select("doc_id", F.size("hs").alias("set_size"))
 
     w = Window.partitionBy("sh")
     capped = (
@@ -213,6 +217,54 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 32,
         for a, b in minhash_coeffs(num_hashes, seed)
     ])
     return hh.select("doc_id", sig.alias("sig"))
+
+
+HASHED_GRAMS_SCHEMA = "doc_id bigint, hs array<bigint>"
+
+
+def hashed_grams_kernel(docs: DataFrame, n: int = 3) -> DataFrame:
+    """The hashed shingle MULTISET per doc -- (doc_id, hs array<bigint>)
+    where hs has one md5_hash60 entry per DISTINCT gram string (a 60-bit
+    collision therefore appears twice, exactly like the relational
+    ``md5_hash60(explode(gram_arrays))`` and its DuckDB twin).
+
+    Zero-shuffle Arrow kernel replacing the interpreted Catalyst chain
+    (split -> transform concat_ws -> array_distinct -> explode -> md5 ->
+    conv) that dominated ngram_jaccard_pairs' pre-join stage; the
+    normalization projection stays JVM-side.  ``size(hs)`` equals the
+    relational set_size (count of distinct gram strings) by construction.
+    Docs with no full shingle emit no row (matching the relational
+    ``set_size > 0`` filter on sizes and the empty explode)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    try:
+        from _md5 import md5
+    except ImportError:                       # pragma: no cover
+        from hashlib import md5
+
+    FOUR = np.uint64(4)
+    pruned = _spread(docs).select("doc_id", _norm_text().alias("t"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hss = [], []
+            for doc_id, t in zip(pdf["doc_id"].tolist(), pdf["t"].tolist()):
+                toks = t.split(" ")
+                m = len(toks) - (n - 1)
+                if m <= 0:
+                    continue
+                grams = {" ".join(toks[i:i + n]) for i in range(m)}
+                digests = [md5(g.encode("utf-8")).digest() for g in grams]
+                hs = (np.frombuffer(b"".join(digests), dtype=">u8")[::2]
+                      .astype(np.uint64) >> FOUR)
+                ids.append(doc_id)
+                hss.append(hs.astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "hs": pd.Series(hss, dtype="object")})
+
+    return pruned.mapInPandas(kernel, HASHED_GRAMS_SCHEMA)
 
 
 MINHASH_SKETCH_SCHEMA = "doc_id bigint, hg array<bigint>, sig array<bigint>"

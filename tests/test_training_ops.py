@@ -221,6 +221,35 @@ def test_minhash_sketches_kernel_equals_relational(spark):
     assert "MapInPandas" in plan
 
 
+def test_hashed_grams_kernel_equals_relational(spark):
+    """ngram_jaccard's kernel-minted hashed shingle MULTISETS must match
+    md5_hash60(explode(gram_arrays)) row-for-row (as multisets; explode
+    order is irrelevant to the window/join consumers) and size(hs) must
+    equal the relational set_size."""
+    rows = [
+        (0, "the quick brown fox jumps over the quick brown fox again"),
+        (1, "  Mixed   CASE   and   collapsed    spaces   here  "),
+        (2, "unicode tokensé café naïve 日本語 text okay"),
+        (3, "one two"),
+        (4, ""),
+        (5, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = dedup.gram_arrays(df)
+    rel = {}
+    for r in (grams.select("doc_id", F.explode("grams").alias("g"))
+              .select("doc_id", dedup.md5_hash60(F.col("g")).alias("sh")).collect()):
+        rel.setdefault(r.doc_id, []).append(r.sh)
+    rel_sizes = {r.doc_id: r.set_size for r in
+                 grams.select("doc_id", F.size("grams").alias("set_size"))
+                 .filter(F.col("set_size") > 0).collect()}
+    out = dedup.hashed_grams_kernel(df).collect()
+    assert {r.doc_id for r in out} == set(rel_sizes)
+    for r in out:
+        assert sorted(r.hs) == sorted(rel[r.doc_id]), r.doc_id
+        assert len(r.hs) == rel_sizes[r.doc_id], r.doc_id
+
+
 def test_minhash_lsh_candidates(spark, docs_df):
     pairs = {(r.doc_a, r.doc_b): r.est_jaccard_milli for r in dedup.minhash_lsh_pairs(docs_df).collect()}
     assert pairs.get((0, 1)) == 1000      # exact dup always collides
