@@ -137,7 +137,7 @@ def make_normalize_udf(cfg: ExtractConfig = DEFAULT_CONFIG):
     def normalize(cropped: pd.Series, conf_milli: pd.Series) -> pd.DataFrame:
         texts: list[str] = []
         methods: list[str] = []
-        for txt, conf in zip(cropped, conf_milli):
+        for txt, conf in zip(cropped.tolist(), conf_milli.tolist()):  # plain-list iteration beats Series iteration
             out, method = spec.normalize_text(txt if isinstance(txt, str) else "", int(conf), cfg)
             texts.append(out)
             methods.append(method)
