@@ -218,6 +218,7 @@ def extract_turn_tuples(
         cl_runmax = g_end if cl_runmax is None or g_end > cl_runmax else cl_runmax
 
     rows: list[tuple] = []
+    pref = f"{conv_id}_{turn_idx}_B"   # hoisted: one interpolation per turn
     for m_start, m_end, kind, conf, ls, le, idxs in clusters:
         c_start = max(0, m_start - pad, ls)
         c_end = min(n, m_end + pad, le)
@@ -228,7 +229,7 @@ def extract_turn_tuples(
             continue
         rows.append((
             c_start, c_end, kind, out_text, method,
-            [f"{conv_id}_{turn_idx}_B{i:04d}" for i in sorted(idxs)],
+            [pref + "%04d" % i for i in sorted(idxs)],
             len(idxs) > 1, conf,
         ))
     rows.sort(key=lambda r: (r[0], r[1], r[2]))
